@@ -1,0 +1,94 @@
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Headline: SpMV throughput in GnnZ/s on one chip (north star >= 5 GnnZ/s/chip,
+see BASELINE.json), measured on a 3-D 27-point Laplacian in the library's ELL
+format — the kernel at the bottom of every PERMON-style hot loop (MPRGP /
+SMALXE / FETI dual applications are 1-2 SpMV + dots per iteration).
+
+Also reports end-to-end MPRGP solve throughput as secondary metrics on stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_laplacian_3d(nx: int):
+    """27-point 3-D Laplacian (nx^3 dofs) as scipy CSR."""
+    import scipy.sparse as sp
+
+    n1 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx), format="csr")
+    i1 = sp.identity(nx, format="csr")
+    a = (
+        sp.kron(sp.kron(n1, i1), i1)
+        + sp.kron(sp.kron(i1, n1), i1)
+        + sp.kron(sp.kron(i1, i1), n1)
+    )
+    return a.tocsr()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import permon_tpu as pt
+
+    dev = jax.devices()[0]
+    nx = 64  # 262144 dofs, ~1.8M nnz
+    a = build_laplacian_3d(nx)
+    n = a.shape[0]
+    nnz = a.nnz
+
+    # throughput benchmark runs in f32 (bandwidth-bound; parity solves use f64)
+    op64 = pt.Ell.from_scipy(a)
+    op = pt.Ell(cols=op64.cols, vals=op64.vals.astype(jnp.float32), shape=op64.shape)
+    x = jnp.ones(n, dtype=jnp.float32)
+
+    spmv = jax.jit(lambda o, v: o.mv(v))
+    y = spmv(op, x)
+    y.block_until_ready()
+
+    iters = 200
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = spmv(op, x)
+    x.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    gnnzs = nnz / dt / 1e9
+
+    # secondary: full MPRGP solve wall time on the ex1 obstacle problem (f64)
+    sys.path.insert(0, "/root/repo")
+    from examples.ex1 import build
+
+    A1, b1, lb1 = build(10000)
+    import scipy.sparse as sp
+
+    qp = pt.QP.create(sp.csr_matrix(A1), b1, lb=lb1)
+    res = pt.solve(qp)  # warm-up/compile
+    t0 = time.perf_counter()
+    res = pt.solve(qp)
+    res.x.block_until_ready()
+    t_solve = time.perf_counter() - t0
+    print(
+        f"secondary: device={dev} mprgp_ex1_n10000 {t_solve * 1e3:.1f} ms "
+        f"({int(res.iterations)} its, reason={int(res.reason)})",
+        file=sys.stderr,
+    )
+
+    baseline = 5.0  # GnnZ/s/chip north-star from BASELINE.json
+    print(
+        json.dumps(
+            {
+                "metric": "spmv_throughput",
+                "value": round(gnnzs, 3),
+                "unit": "GnnZ/s/chip",
+                "vs_baseline": round(gnnzs / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""permon_tpu — TPU-native QP / FETI domain-decomposition solver framework.
+
+A from-scratch reimplementation of the capabilities of PERMON
+(Parallel Efficient Robust Modular Object Numerical; reference at
+/root/reference — QP solvers MPRGP/SMALXE/PCPG, QP transform chain,
+TFETI domain decomposition) designed for TPU:
+
+- compute path: JAX / XLA / Pallas; everything in the iteration hot loop is
+  jitted, static-shaped, and device-resident,
+- parallelism: ``jax.sharding`` meshes + ``shard_map`` (subdomain data
+  decomposition, link-distributed dual space, replicated coarse solves),
+- operators are immutable pytree dataclasses composed functionally instead of
+  a PETSc-style vtable object system,
+- setup-time graph construction (gluing assembly, index manipulation) runs on
+  host in numpy, mirroring the reference's PetscSF setup phase
+  (reference: src/qp/impls/feti/qpfeti.c).
+
+Float64 is enabled on import (PERMON is a double-precision library and the
+KKT parity oracles require it); set the environment variable
+``PERMON_TPU_X64=0`` before first import to opt out.
+"""
+
+import os as _os
+
+if _os.environ.get("PERMON_TPU_X64", "1") != "0":
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+
+from .core.linop import (
+    LinearOperator,
+    Dense,
+    Diagonal,
+    Ell,
+    Identity,
+    Penalized,
+    Product,
+    Scaled,
+    Sum,
+    Transpose,
+    aslinearoperator,
+)
+from .core.eig import max_eigenvalue
+from .core.convergence import ConvergedReason, Tolerances
+from .qp.qp import QP
+from .solvers.driver import solve
+from .solvers.mprgp import MPRGPOptions, mprgp
+
+__all__ = [
+    "LinearOperator",
+    "Dense",
+    "Diagonal",
+    "Ell",
+    "Identity",
+    "Penalized",
+    "Product",
+    "Scaled",
+    "Sum",
+    "Transpose",
+    "aslinearoperator",
+    "max_eigenvalue",
+    "ConvergedReason",
+    "Tolerances",
+    "QP",
+    "solve",
+    "MPRGPOptions",
+    "mprgp",
+]

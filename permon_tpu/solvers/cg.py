@@ -1,0 +1,84 @@
+"""Conjugate gradients for unconstrained QPs (the QPSKSP analog) and
+projected preconditioned CG (PCPG) for equality-constrained QPs.
+
+Reference: src/qps/impls/ksp/qpsksp.c (wraps KSPCG) and
+src/qps/impls/pcpg/pcpg.c (FETI-1 style projected CG: w = P r, z = M w,
+y = P z, standard CG recurrence on projected quantities).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.convergence import Tolerances, converged_default
+from ..qp.qp import QP
+
+
+@struct.dataclass
+class CGResult:
+    x: jax.Array
+    reason: jax.Array
+    iterations: jax.Array
+    rnorm: jax.Array
+    nmv: jax.Array
+
+
+def cg(
+    qp: QP,
+    tol: Tolerances = Tolerances(),
+    precond: Optional[Callable] = None,
+    project: Optional[Callable] = None,
+    monitor: bool = False,
+) -> CGResult:
+    """(Projected, preconditioned) CG on 1/2 x'Ax - b'x.
+
+    With ``project`` = P (orthogonal projector onto ker BE) this is PCPG
+    (reference: pcpg.c:51-134): every search direction and residual stays in
+    the projected subspace; convergence is tested on ||P r|| (w).
+    """
+    A, b = qp.A, qp.b
+    x0 = qp.initial_vector()
+
+    norm_rhs = jnp.linalg.norm(b)
+    ttol = jnp.maximum(tol.rtol * norm_rhs, tol.atol)
+    P = project if project is not None else (lambda v: v)
+    M = precond if precond is not None else (lambda v: v)
+
+    def body(carry):
+        x, r, w, z, p, wz, it, reason, nmv = carry
+        rnorm = jnp.linalg.norm(w)
+        if monitor:
+            jax.debug.print("{it:>3} CG ||Pr||={r:.10e}", it=it, r=rnorm)
+        reason = converged_default(
+            it, rnorm, ttol=ttol, atol=tol.atol, divtol=tol.divtol,
+            norm_rhs_div=norm_rhs, max_it=tol.max_it,
+        )
+
+        def step(_):
+            Ap = A.mv(p)
+            pAp = jnp.vdot(p, Ap)
+            a = wz / pAp
+            x2 = x + a * p
+            r2 = r - a * Ap
+            w2 = P(r2)
+            z2 = M(w2)
+            y2 = P(z2) if precond is not None else z2
+            wz2 = jnp.vdot(w2, y2)
+            beta = wz2 / wz
+            p2 = y2 + beta * p
+            return x2, r2, w2, z2, p2, wz2, it + 1, reason, nmv + 1
+
+        return jax.lax.cond(reason == 0, step, lambda _: (x, r, w, z, p, wz, it, reason, nmv), None)
+
+    r0 = b - A.mv(x0)
+    w0 = P(r0)
+    z0 = M(w0)
+    y0 = P(z0) if precond is not None else z0
+    carry0 = (x0, r0, w0, z0, y0, jnp.vdot(w0, y0), jnp.int32(0), jnp.int32(0), jnp.int32(1))
+    x, r, w, *_rest = out = jax.lax.while_loop(lambda c: c[7] == 0, body, carry0)
+    _, _, w, _, _, _, it, reason, nmv = out
+    return CGResult(x=x, reason=reason, iterations=it, rnorm=jnp.linalg.norm(w), nmv=nmv)

@@ -1,0 +1,48 @@
+"""Solve driver — default solver selection and the public ``solve`` entry.
+
+Mirrors QPSSetDefaultType (reference: src/qps/interface/qps.c:422-455):
+
+- inequality constraints present  -> unsupported here directly (dualize first,
+  exactly like the reference which errors with "use QPDualize"),
+- equality constraints present    -> SMALXE,
+- box constraints only            -> MPRGP,
+- unconstrained                   -> CG (the KSP analog).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from ..core.convergence import Tolerances
+from ..qp.qp import QP
+from .cg import cg
+from .mprgp import MPRGPOptions, mprgp
+
+
+def default_solver_type(qp: QP) -> str:
+    if qp.BI is not None:
+        raise ValueError(
+            "QP with linear inequality constraints cannot be solved directly; "
+            "apply dualize() first (reference: QPSSetDefaultType, qps.c:436-438)"
+        )
+    if qp.BE is not None:
+        return "smalxe"
+    if qp.box is not None:
+        return "mprgp"
+    return "cg"
+
+
+def solve(qp: QP, qps_type: Optional[str] = None, tol: Tolerances = Tolerances(), **kwargs):
+    """Solve the QP with the selected (or default) solver; returns the solver result."""
+    qps_type = qps_type or default_solver_type(qp)
+    if qps_type == "mprgp":
+        opts = kwargs.pop("opts", MPRGPOptions(**kwargs))
+        return mprgp(qp, opts=opts, tol=tol)
+    if qps_type == "cg":
+        return cg(qp, tol=tol, **kwargs)
+    if qps_type == "smalxe":
+        from .smalxe import SMALXEOptions, smalxe
+
+        opts = kwargs.pop("opts", SMALXEOptions(**kwargs))
+        return smalxe(qp, opts=opts, tol=tol)
+    raise ValueError(f"unknown solver type {qps_type!r}")

@@ -1,0 +1,63 @@
+"""Unit tests of core linear operators against dense numpy references."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import permon_tpu as pt
+
+
+def _rand_sparse(m, n, density=0.3, seed=0):
+    rng = np.random.default_rng(seed)
+    a = sp.random(m, n, density=density, random_state=rng, format="csr")
+    return a
+
+
+class TestEll:
+    def test_mv_rmv(self):
+        a = _rand_sparse(17, 23)
+        op = pt.Ell.from_scipy(a)
+        x = np.random.default_rng(1).normal(size=23)
+        y = np.random.default_rng(2).normal(size=17)
+        np.testing.assert_allclose(op.mv(x), a @ x, rtol=1e-12)
+        np.testing.assert_allclose(op.rmv(y), a.T @ y, rtol=1e-12)
+
+    def test_diagonal_todense(self):
+        a = _rand_sparse(12, 12)
+        op = pt.Ell.from_scipy(a)
+        np.testing.assert_allclose(op.diagonal(), a.diagonal(), rtol=1e-12)
+        np.testing.assert_allclose(op.todense(), a.toarray(), rtol=1e-12)
+
+
+class TestComposites:
+    def test_product_penalized(self):
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=(8, 8))
+        a = a @ a.T + 8 * np.eye(8)
+        bmat = rng.normal(size=(3, 8))
+        A = pt.Dense.create(a)
+        B = pt.Dense.create(bmat)
+        x = rng.normal(size=8)
+        pen = pt.Penalized(a=A, b=B, rho=np.float64(2.5))
+        np.testing.assert_allclose(pen.mv(x), a @ x + 2.5 * bmat.T @ (bmat @ x), rtol=1e-12)
+        prod = pt.Product((B, A))
+        np.testing.assert_allclose(prod.mv(x), bmat @ (a @ x), rtol=1e-12)
+        np.testing.assert_allclose(prod.rmv(np.ones(3)), a.T @ (bmat.T @ np.ones(3)), rtol=1e-12)
+
+    def test_transpose_sum_scaled(self):
+        rng = np.random.default_rng(4)
+        a = rng.normal(size=(5, 7))
+        A = pt.Dense.create(a)
+        x5 = rng.normal(size=5)
+        np.testing.assert_allclose(A.T.mv(x5), a.T @ x5, rtol=1e-12)
+        S = pt.Sum((A, pt.Scaled(inner=A, scale=np.float64(3.0))))
+        np.testing.assert_allclose(S.mv(np.ones(7)), 4 * (a @ np.ones(7)), rtol=1e-12)
+
+
+class TestPowerMethod:
+    def test_matches_numpy(self):
+        rng = np.random.default_rng(5)
+        a = rng.normal(size=(30, 30))
+        a = a @ a.T
+        lam = pt.max_eigenvalue(pt.Dense.create(a), tol=1e-10, maxits=5000)
+        np.testing.assert_allclose(float(lam), np.linalg.eigvalsh(a)[-1], rtol=1e-6)
