@@ -131,9 +131,16 @@ def mprgp(
     default test — SMALXE injects its coupled inner/outer test this way
     (reference: QPSConverged_Inner_SMALXE, smalxe.c:609-692).
     """
-    assert qp.box is not None, "MPRGP requires box constraints (use cg/smalxe otherwise)"
     A, b = qp.A, qp.b
-    box = qp.box.chop_bounds(opts.bchop_tol)
+    if qp.box is None:
+        # unbounded box: the algorithm degenerates to plain CG (no chopped
+        # gradient, infinite feasible steps) — used by SMALXE for
+        # equality-only QPs where the reference picks the KSP inner solver
+        from ..qpc.box import BoxConstraint
+
+        box = BoxConstraint.create(qp.n)
+    else:
+        box = qp.box.chop_bounds(opts.bchop_tol)
     dtype = b.dtype
     gamma2 = opts.gamma**2
 
