@@ -1,0 +1,49 @@
+"""Tutorial ex3 — obstacle problem with the bound as a linear inequality,
+solved via dualization (reference: src/tutorials/ex3.c).
+
+Primal: min 1/2 x'Ax - b'x  s.t.  BI x <= cI  with BI = -I, cI = -obstacle
+(i.e. x >= obstacle).  QPTDualize turns this into a box-constrained dual QP
+on lambda >= 0 with F = B K^{-1} B', solved by MPRGP.
+
+Reference parity target (src/tutorials/output/ex3_1.out): CONVERGED_RTOL,
+44 iterations, 71 Hessian multiplications, 17 CG / 26 expansion /
+1 proportioning steps.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from examples.ex1 import build  # same A, b, obstacle as ex1
+
+
+def main(n: int = 100, view: bool = True, **solver_kwargs):
+    import jax.numpy as jnp
+
+    import permon_tpu as pt
+    from permon_tpu.qp.transforms import Solution, dualize
+    from permon_tpu.viewers import view_convergence, view_kkt
+
+    A, b, obst = build(n)
+    BI = -np.eye(n)
+    cI = -obst
+    qp = pt.QP.create(A, b, BI=BI, cI=cI)
+
+    dual, post = dualize(qp)
+    res = pt.solve(dual, **solver_kwargs)
+    sol = post(Solution(x=res.x, g=res.g))
+
+    if view:
+        print(view_convergence(res))
+        # chain KKT: dual (child) first, then the primal (parent), mirroring
+        # -qp_chain_view_kkt output order
+        print(view_kkt(dual, res.x, g=res.g))
+        print(view_kkt(qp, sol.x, lambda_I=sol.lambda_I))
+    return qp, dual, res, sol
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)

@@ -1,0 +1,118 @@
+"""Factorized inverse operators — the MATINV analog.
+
+The reference wraps a KSP with a direct-solver cascade (MUMPS/PaStiX/SuperLU
+Cholesky/LU, reference: src/mat/impls/inv/matinv.c:481-540) so that
+MatMult(Kplus, x) solves K y = x.  On TPU the equivalent is a setup-time
+Cholesky factorization (dense per-subdomain/condensed blocks via
+``jax.lax.linalg.cholesky`` — MXU-batched) and triangular solves at apply
+time; f64 keeps the applications direct-solver-accurate, which the
+iteration-count parity oracles require.
+
+Singular operators (floating TFETI subdomains) are regularized before
+factorization following MatRegularize (reference:
+src/mat/interface/permonmatregularize.c:117-287): K_reg = K + rho*Q with
+Q an orthogonal projector onto a complement of ker K built from the
+nullspace basis R, rho = ||K|| (max eigenvalue); the factorized inverse of
+K_reg then acts as a generalized inverse of K.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .eig import max_eigenvalue
+from .linop import LinearOperator, aslinearoperator
+
+
+@struct.dataclass
+class CholInv(LinearOperator):
+    """y = K^{-1} x via a stored dense Cholesky factor (lower)."""
+
+    chol: jax.Array  # (n, n) lower-triangular factor
+    shape: Tuple[int, int] = struct.field(pytree_node=False)
+
+    @classmethod
+    def from_dense(cls, a: jax.Array) -> "CholInv":
+        c = jnp.linalg.cholesky(a)
+        return cls(chol=c, shape=(int(a.shape[0]), int(a.shape[1])))
+
+    def mv(self, x):
+        return jax.scipy.linalg.cho_solve((self.chol, True), x)
+
+    rmv = mv  # symmetric
+
+
+@struct.dataclass
+class BlockDiagCholInv(LinearOperator):
+    """Batched per-block Cholesky inverse — the MAT_INV_BLOCKDIAG analog.
+
+    All blocks share one (padded) size so the factorization and solves are a
+    single batched MXU-friendly call; this replaces the reference's per-rank
+    PCBJACOBI sub-KSP factorizations (matinv.c:551-575)."""
+
+    chols: jax.Array  # (nb, bs, bs)
+    shape: Tuple[int, int] = struct.field(pytree_node=False)
+
+    @classmethod
+    def from_blocks(cls, blocks: jax.Array) -> "BlockDiagCholInv":
+        nb, bs, _ = blocks.shape
+        chols = jnp.linalg.cholesky(blocks)
+        return cls(chols=chols, shape=(int(nb * bs), int(nb * bs)))
+
+    def mv(self, x):
+        nb, bs, _ = self.chols.shape
+        xb = x.reshape(nb, bs)
+        yb = jax.vmap(lambda c, v: jax.scipy.linalg.cho_solve((c, True), v))(self.chols, xb)
+        return yb.reshape(-1)
+
+    rmv = mv
+
+
+def nullspace_projector_dense(R: jax.Array) -> jax.Array:
+    """Q = R (R'R)^{-1} R' — orthogonal projector onto span(R)."""
+    RtR = R.T @ R
+    return R @ jnp.linalg.solve(RtR, R.T)
+
+
+def regularize_dense(K: jax.Array, R: jax.Array, rho: Optional[jax.Array] = None) -> jax.Array:
+    """K_reg = K + rho * Q (MatRegularize semantics; rho defaults to ||K||,
+    the max eigenvalue, permonmatregularize.c:199-230)."""
+    if rho is None:
+        from .linop import Dense
+
+        rho = max_eigenvalue(Dense.create(K))
+    return K + rho * nullspace_projector_dense(R)
+
+
+def make_inv(A, R=None, regularize: bool = True) -> CholInv:
+    """Factorized (pseudo)inverse K+ of a (possibly singular) SPD operator.
+
+    With a nullspace basis R the operator is regularized first so the Cholesky
+    factorization exists; the result is a generalized inverse of K
+    (K K+ K = K on range(K)), which is all the dual methods need
+    (reference: QPTDualize's Kplus construction, qptransform.c:978-1087)."""
+    A = aslinearoperator(A)
+    Ad = A.todense()
+    if R is not None:
+        Rd = R.todense() if isinstance(R, LinearOperator) else jnp.asarray(R)
+        if Rd.shape[1] > 0 and regularize:
+            Ad = regularize_dense(Ad, Rd)
+    return CholInv.from_dense(Ad)
+
+
+def detect_nullspace_dense(A: jax.Array, tol: float = 1e-8):
+    """Nullspace basis by eigendecomposition — the TPU stand-in for MUMPS
+    null-pivot detection (matinv.c:55-195).  Returns (R, defect).
+
+    Intended for setup time on condensed/dense blocks; analytic rigid-body
+    modes (permon_tpu.feti.rigid_body_modes) are the preferred path, exactly
+    as the reference examples do (feti/ex71.c:331-339)."""
+    w, v = jnp.linalg.eigh(A)
+    scale = jnp.max(jnp.abs(w))
+    mask = jnp.abs(w) <= tol * scale
+    defect = int(jnp.sum(mask))
+    return v[:, :defect], defect

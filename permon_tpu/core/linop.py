@@ -288,6 +288,40 @@ class Product(LinearOperator):
 
 
 @struct.dataclass
+class VStack(LinearOperator):
+    """Vertically stacked operator [B0; B1; ...] — the analog of the 2x1
+    MATNESTPERMON the reference builds when merging BE and BI into one
+    constraint matrix B (reference: QPSetUpInnerObjects, qp.c:492-598)."""
+
+    ops: Tuple[Any, ...]
+
+    @property
+    def shape(self):
+        return (sum(op.shape[0] for op in self.ops), self.ops[0].shape[1])
+
+    @property
+    def row_offsets(self):
+        offs, o = [], 0
+        for op in self.ops:
+            offs.append((o, o + op.shape[0]))
+            o += op.shape[0]
+        return offs
+
+    def mv(self, x):
+        return jnp.concatenate([op.mv(x) for op in self.ops])
+
+    def rmv(self, y):
+        out = None
+        for op, (lo, hi) in zip(self.ops, self.row_offsets):
+            contrib = op.rmv(y[lo:hi])
+            out = contrib if out is None else out + contrib
+        return out
+
+    def todense(self):
+        return jnp.concatenate([op.todense() for op in self.ops], axis=0)
+
+
+@struct.dataclass
 class Penalized(LinearOperator):
     """y = A @ x + rho * B^T (B x) — the augmented-Lagrangian Hessian.
 

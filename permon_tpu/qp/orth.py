@@ -1,0 +1,75 @@
+"""Row/column orthonormalization — the MatOrthColumns/MatOrthRows analog.
+
+Produces (Q, T) with Q = T B having orthonormal rows, where T is the change
+of basis applied to constraint right-hand sides and (transposed) to recovered
+multipliers (reference: src/mat/interface/permonmatorth.c; used by
+QPTOrthonormalizeEq, qptransform.c:566-660).
+
+Methods:
+- "gs": iterated classical Gram-Schmidt with re-orthogonalization until the
+  norm stabilizes (permonmatorth.c:207-250),
+- "cholesky": BB' = LL', Q = L^{-1} B (the row variant of the Cholesky QR in
+  permonmatorth.c:35-143),
+- "implicit"/"inexact": no-op transforms that only mark orthonormality /
+  reuse downstream (permonmatorth.c:145-174).
+
+Everything here is setup-time dense math on the small constraint dimension.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def orth_rows_gs(B: jax.Array, rtol: float = 1e-10, max_reorth: int = 4) -> Tuple[jax.Array, jax.Array]:
+    """Iterated classical Gram-Schmidt on rows. Returns (Q, T) with Q = T B."""
+    B = jnp.asarray(B)
+    m, n = B.shape
+    dtype = B.dtype
+    Q = jnp.zeros((m, n), dtype)
+    T = jnp.zeros((m, m), dtype)
+
+    def row_step(i, carry):
+        Q, T = carry
+        b = B[i]
+        t = jnp.zeros(m, dtype).at[i].set(1.0)
+
+        def reorth(_, bt):
+            b, t = bt
+            coeffs = Q @ b  # projections onto previous rows (rows >= i are 0)
+            return b - Q.T @ coeffs, t - T.T @ coeffs
+
+        b, t = jax.lax.fori_loop(0, max_reorth, reorth, (b, t))
+        nrm = jnp.linalg.norm(b)
+        Q = Q.at[i].set(b / nrm)
+        T = T.at[i].set(t / nrm)
+        return Q, T
+
+    Q, T = jax.lax.fori_loop(0, m, row_step, (Q, T))
+    return Q, T
+
+
+def orth_rows_cholesky(B: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """BB' = LL'; Q = L^{-1} B has orthonormal rows; T = L^{-1}."""
+    L = jnp.linalg.cholesky(B @ B.T)
+    T = jax.scipy.linalg.solve_triangular(L, jnp.eye(B.shape[0], dtype=B.dtype), lower=True)
+    return T @ B, T
+
+
+def orth_rows(B: jax.Array, method: str = "gs"):
+    if method == "gs":
+        return orth_rows_gs(B)
+    if method == "cholesky":
+        return orth_rows_cholesky(B)
+    if method in ("implicit", "inexact"):
+        return B, jnp.eye(B.shape[0], dtype=B.dtype)
+    raise ValueError(f"unknown orthonormalization method {method!r}")
+
+
+def orth_columns(A: jax.Array, method: str = "gs"):
+    """Column variant: A = Q S with Q'Q = I; returns (Q, T) with Q = A T'."""
+    Q, T = orth_rows(A.T, method)
+    return Q.T, T

@@ -1,0 +1,95 @@
+"""Projector factory — the QPPF analog (coarse problem).
+
+Holds the equality-constraint operator G and provides the projector
+applications used throughout the dual pipeline (reference:
+src/qppf/interface/qppf.c):
+
+    Q      = G' (G G')^{-1} G      (projector onto im G')
+    P      = I - Q                 (projector onto ker G)
+    halfQ  : x  -> (G G')^{-1} G x
+    halfQ' : v  -> G' (G G')^{-1} v
+    CP     : v  -> (G G')^{-1} v   (the coarse-problem solve)
+
+G has few rows (defect of A, or number of equality constraints), so GG' is a
+small dense SPD matrix factorized once by Cholesky at setup — the analog of
+the redundantly factorized coarse problem (qppf.c:282-333); under a device
+mesh the factor is replicated so CP is an all-local triangular solve preceded
+by the G matvec reduction.
+
+When G has orthonormal rows GG' = I and the CP solve short-circuits entirely
+(reference: qppf.c:392-396, 478-484).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.linop import LinearOperator
+
+
+def dense_rows(op: LinearOperator, dtype=None) -> jax.Array:
+    """Materialize a wide operator (few rows) as a dense (m, n) array by
+    applying op' to the m unit vectors — the by-columns fallback idiom of the
+    reference (MatTransposeMatMultByColumns, permonmatutils.c)."""
+    m = op.shape[0]
+    dtype = dtype or jnp.result_type(float)
+    eye = jnp.eye(m, dtype=dtype)
+    cols_of_gt = jax.vmap(op.rmv, in_axes=0)(eye)  # (m, n): row i = G[i, :]
+    return cols_of_gt
+
+
+@struct.dataclass
+class Projector:
+    G: Any  # LinearOperator (m, n)
+    ggt_chol: Optional[jax.Array]  # None when rows are orthonormal
+    orthonormal_rows: bool = struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def create(cls, G: LinearOperator, orthonormal_rows: bool = False) -> "Projector":
+        if orthonormal_rows:
+            return cls(G=G, ggt_chol=None, orthonormal_rows=True)
+        Gd = dense_rows(G)
+        ggt = Gd @ Gd.T
+        return cls(G=G, ggt_chol=jnp.linalg.cholesky(ggt), orthonormal_rows=False)
+
+    def apply_cp(self, v):
+        """Coarse-problem solve (GG')^{-1} v (QPPFApplyCP, qppf.c:610-645)."""
+        if self.orthonormal_rows:
+            return v
+        return jax.scipy.linalg.cho_solve((self.ggt_chol, True), v)
+
+    def apply_half_q(self, x):
+        return self.apply_cp(self.G.mv(x))
+
+    def apply_half_q_t(self, v):
+        return self.G.rmv(self.apply_cp(v))
+
+    def apply_q(self, x):
+        return self.G.rmv(self.apply_cp(self.G.mv(x)))
+
+    def apply_p(self, x):
+        return x - self.apply_q(x)
+
+    def apply_gtg(self, x):
+        return self.G.rmv(self.G.mv(x))
+
+
+@struct.dataclass
+class ProjOp(LinearOperator):
+    """P = I - G'(GG')^{-1}G as a LinearOperator (QPPFCreateP, qppf.c:650)."""
+
+    pf: Projector
+
+    @property
+    def shape(self):
+        n = self.pf.G.shape[1]
+        return (n, n)
+
+    def mv(self, x):
+        return self.pf.apply_p(x)
+
+    rmv = mv  # orthogonal projector is symmetric

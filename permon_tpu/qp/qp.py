@@ -35,6 +35,7 @@ class QP:
     BI: Any = None  # inequality constraint operator (BI x <= cI)
     cI: Optional[jax.Array] = None
     R: Any = None  # operator whose columns span ker(A)
+    pf: Any = None  # Projector factory over BE (the QPPF analog, lazily set)
 
     @classmethod
     def create(cls, A, b, x0=None, lb=None, ub=None, BE=None, cE=None, BI=None, cI=None, R=None) -> "QP":

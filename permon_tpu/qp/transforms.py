@@ -1,0 +1,253 @@
+"""QP transforms — the functional reimplementation of PERMON's QPT chain.
+
+Each transform maps a QP to ``(child_qp, post_solve)`` where ``post_solve``
+takes the child's :class:`Solution` and produces the parent's.  The
+reference's mutable parent<->child chain with postSolve callbacks
+(src/qp/interface/qpchain.c, qptransform.c:15-43) becomes plain function
+composition: apply transforms left to right, then fold the post-solves back
+right to left (:func:`compose`).
+
+Implemented transforms and their reference counterparts:
+- :func:`dualize`             — QPTDualize        (qptransform.c:909-1197)
+- :func:`homogenize_eq`       — QPTHomogenizeEq   (qptransform.c:437-527)
+- :func:`enforce_eq_by_projector` — QPTEnforceEqByProjector (qptransform.c:215-316)
+- :func:`enforce_eq_by_penalty`   — QPTEnforceEqByPenalty   (qptransform.c:329-410)
+- :func:`orthonormalize_eq`   — QPTOrthonormalizeEq (qptransform.c:566-660)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.factor import make_inv
+from ..core.linop import Dense, Penalized, Product, Transpose, VStack, aslinearoperator
+from ..qpc.box import BoxConstraint
+from .projector import ProjOp, Projector, dense_rows
+from .qp import QP
+
+
+@struct.dataclass
+class Solution:
+    """Solution data flowing backwards through post-solves (the analog of the
+    x / lambda_E / lambda_I / Bt_lambda members of the reference QP)."""
+
+    x: jax.Array
+    lambda_E: Optional[jax.Array] = None
+    lambda_I: Optional[jax.Array] = None
+    Bt_lambda: Optional[jax.Array] = None  # B'lambda in the QP's primal space
+    g: Optional[jax.Array] = None  # A x - b if the solver produced it
+
+
+PostSolve = Callable[[Solution], Solution]
+
+
+def compose(steps: Sequence[Tuple[QP, PostSolve]]) -> PostSolve:
+    """Fold child-to-parent post-solves in reverse chain order
+    (QPChainPostSolve, qpchain.c:200-282)."""
+
+    def post(sol: Solution) -> Solution:
+        for _, ps in reversed(list(steps)):
+            sol = ps(sol)
+        return sol
+
+    return post
+
+
+def ensure_pf(qp: QP, orthonormal_rows: bool = False) -> QP:
+    """Attach the projector factory over BE if absent (QPSetEqInner creates
+    the QPPF as a side effect in the reference, qp.c)."""
+    if qp.BE is None or qp.pf is not None:
+        return qp
+    return qp.replace(pf=Projector.create(qp.BE, orthonormal_rows=orthonormal_rows))
+
+
+# --------------------------------------------------------------------------
+# dualize
+# --------------------------------------------------------------------------
+
+
+def dualize(qp: QP, regularize: bool = True, kplus=None) -> Tuple[QP, PostSolve]:
+    """Build the dual QP  min 1/2 l'Fl - d'l  s.t. G l = e, l_I >= 0 with
+    F = B K+ B', d = B K+ b - c, G = R'B', e = R'b  (QPTDualize,
+    qptransform.c:909-1197).
+
+    ``kplus`` lets callers supply a structured factorized inverse (e.g. a
+    BlockDiagCholInv for TFETI); the default is a dense Cholesky of the
+    (regularized) Hessian — the MAT_INV_MONOLITHIC path.
+    """
+    assert qp.BE is not None or qp.BI is not None, "dualize needs linear constraints"
+    A, b = qp.A, qp.b
+
+    ops, cs, mE = [], [], 0
+    if qp.BE is not None:
+        ops.append(qp.BE)
+        mE = qp.BE.shape[0]
+        cs.append(qp.cE if qp.cE is not None else jnp.zeros(mE, dtype=b.dtype))
+    if qp.BI is not None:
+        mI = qp.BI.shape[0]
+        ops.append(qp.BI)
+        cs.append(qp.cI if qp.cI is not None else jnp.zeros(mI, dtype=b.dtype))
+    B = ops[0] if len(ops) == 1 else VStack(tuple(ops))
+    c = jnp.concatenate(cs)
+    m = B.shape[0]
+
+    Kplus = kplus if kplus is not None else make_inv(A, qp.R, regularize=regularize)
+    F = Product((B, Kplus, Transpose(B)))
+
+    d = B.mv(Kplus.mv(b)) - c
+
+    G = None
+    e = None
+    if qp.R is not None and qp.R.shape[1] > 0:
+        Rd = qp.R.todense()
+        # G row i = B r_i  (G = R'B', qptransform.c:1089-1100)
+        Gd = jax.vmap(B.mv, in_axes=1)(Rd)
+        G = Dense.create(Gd)
+        e = qp.R.rmv(b)
+
+    box = None
+    if qp.BI is not None:
+        # lb = -inf on the E block, 0 on the I block (qptransform.c:1136-1162)
+        lb = jnp.concatenate(
+            [jnp.full(mE, -jnp.inf, dtype=b.dtype), jnp.zeros(m - mE, dtype=b.dtype)]
+        )
+        box = BoxConstraint.create(m, lb=lb)
+
+    child = QP(
+        A=F, b=d, x0=jnp.zeros(m, dtype=b.dtype), box=box,
+        BE=G, cE=e, BI=None, cI=None, R=None,
+    )
+    child = ensure_pf(child)
+
+    def post(sol: Solution) -> Solution:
+        lam = sol.x
+        u = Kplus.mv(b - B.rmv(lam))
+        if G is not None:
+            # alpha = (GG')^{-1} G (G'mu); G'mu accumulated in child Bt_lambda
+            # (QPTDualizePostSolve_Private, qptransform.c:782-833)
+            bt = sol.Bt_lambda
+            if bt is None:
+                bt = G.rmv(sol.lambda_E) if sol.lambda_E is not None else jnp.zeros(m, b.dtype)
+            alpha = child.pf.apply_half_q(bt)
+            u = u - qp.R.mv(alpha)
+        lam_E = lam[:mE] if qp.BE is not None else None
+        lam_I = lam[mE:] if qp.BI is not None else None
+        return Solution(
+            x=u, lambda_E=lam_E, lambda_I=lam_I, Bt_lambda=B.rmv(lam)
+        )
+
+    return child, post
+
+
+# --------------------------------------------------------------------------
+# homogenize_eq
+# --------------------------------------------------------------------------
+
+
+def homogenize_eq(qp: QP) -> Tuple[QP, PostSolve]:
+    """Shift out a nonzero equality rhs: xt = BE'(BE BE')^{-1} cE; the child
+    has cE = 0, b = b - A xt, shifted cI and box (QPTHomogenizeEq)."""
+    if qp.cE is None:
+        return qp, lambda s: s
+    qp = ensure_pf(qp)
+    xt = qp.pf.apply_half_q_t(qp.cE)
+    b_bar = qp.b - qp.A.mv(xt)
+    cI = qp.cI - qp.BI.mv(xt) if qp.cI is not None and qp.BI is not None else qp.cI
+    box = qp.box
+    if box is not None:
+        box = box.replace(lb=box.lb - xt, ub=box.ub - xt)
+    child = qp.replace(b=b_bar, cE=None, cI=cI, box=box, x0=None)
+
+    def post(sol: Solution) -> Solution:
+        return sol.replace(x=sol.x + xt, g=None)
+
+    return child, post
+
+
+# --------------------------------------------------------------------------
+# enforce_eq_by_projector
+# --------------------------------------------------------------------------
+
+
+def enforce_eq_by_projector(qp: QP) -> Tuple[QP, PostSolve]:
+    """Replace A by P A (eq-only) or P A P and b by P b with P the orthogonal
+    projector onto ker BE (QPTEnforceEqByProjector).  Requires homogenized
+    equality constraints (apply homogenize_eq first)."""
+    if qp.BE is None:
+        return qp.replace(cE=None), lambda s: s
+    assert qp.cE is None, "apply homogenize_eq before enforce_eq_by_projector"
+    qp = ensure_pf(qp)
+    P = ProjOp(pf=qp.pf)
+    eqonly = qp.BI is None and qp.box is None
+    if eqonly:
+        newA = Product((P, qp.A))
+        child = qp.replace(A=newA, b=P.mv(qp.b), BE=None, cE=None, pf=None)
+    else:
+        newA = Product((P, qp.A, P))
+        child = qp.replace(A=newA, b=P.mv(qp.b))
+
+    def post(sol: Solution) -> Solution:
+        # lambda_E fixup: Bt_lambda += Q (b - A x), lambda_E += halfQ(b - A x)
+        # (QPTEnforceEqByProjectorPostSolve_Private, qptransform.c:57-95)
+        r = qp.b - qp.A.mv(sol.x)
+        lam_E = qp.pf.apply_half_q(r)
+        bt = qp.pf.apply_q(r)
+        if sol.lambda_E is not None:
+            lam_E = lam_E + sol.lambda_E
+        if sol.Bt_lambda is not None:
+            bt = bt + sol.Bt_lambda
+        return sol.replace(lambda_E=lam_E, Bt_lambda=bt)
+
+    return child, post
+
+
+# --------------------------------------------------------------------------
+# enforce_eq_by_penalty
+# --------------------------------------------------------------------------
+
+
+def enforce_eq_by_penalty(qp: QP, rho) -> Tuple[QP, PostSolve]:
+    """A_child = A + rho BE'BE (lazy), b_child = b + rho BE'cE
+    (QPTEnforceEqByPenalty, qptransform.c:329-410)."""
+    assert qp.BE is not None
+    pen = Penalized(a=qp.A, b=qp.BE, rho=jnp.asarray(rho, qp.b.dtype))
+    b = qp.b
+    if qp.cE is not None:
+        b = b + rho * qp.BE.rmv(qp.cE)
+    child = qp.replace(A=pen, b=b, BE=None, cE=None)
+    return child, lambda s: s
+
+
+# --------------------------------------------------------------------------
+# orthonormalize_eq
+# --------------------------------------------------------------------------
+
+
+def orthonormalize_eq(qp: QP, method: str = "gs") -> Tuple[QP, PostSolve]:
+    """(TBE, T) = orth_rows(BE); child BE = T BE (orthonormal rows), cE = T cE.
+    Post-solve maps lambda_E back via T' (QPTOrthonormalizeEq)."""
+    from .orth import orth_rows
+
+    if qp.BE is None:
+        return qp, lambda s: s
+    if method in ("implicit", "inexact"):
+        # no algebraic change; "implicit" marks orthonormality for downstream
+        child = qp.replace(pf=Projector.create(qp.BE, orthonormal_rows=(method == "implicit")))
+        return child, lambda s: s
+    Bd = dense_rows(qp.BE)
+    Q, T = orth_rows(Bd, method)
+    cE = T @ qp.cE if qp.cE is not None else None
+    BEn = Dense.create(Q)
+    child = qp.replace(BE=BEn, cE=cE, pf=Projector.create(BEn, orthonormal_rows=True))
+
+    def post(sol: Solution) -> Solution:
+        lam = sol.lambda_E
+        if lam is not None:
+            lam = T.T @ lam
+        return sol.replace(lambda_E=lam)
+
+    return child, post

@@ -41,8 +41,16 @@ def solve(qp: QP, qps_type: Optional[str] = None, tol: Tolerances = Tolerances()
     if qps_type == "cg":
         return cg(qp, tol=tol, **kwargs)
     if qps_type == "smalxe":
+        from ..qp.transforms import Solution, homogenize_eq
         from .smalxe import SMALXEOptions, smalxe
 
         opts = kwargs.pop("opts", SMALXEOptions(**kwargs))
+        # nonzero cE is homogenized away automatically, as in QPSSetUp_SMALXE
+        # (smalxe.c:771-779); the shift is applied back to the returned x
+        if qp.cE is not None:
+            child, post = homogenize_eq(qp)
+            res = smalxe(child, opts=opts, tol=tol)
+            sol = post(Solution(x=res.x, Bt_lambda=res.Bt_lambda))
+            return res.replace(x=sol.x)
         return smalxe(qp, opts=opts, tol=tol)
     raise ValueError(f"unknown solver type {qps_type!r}")
