@@ -1,0 +1,8 @@
+from .assembly import (
+    FetiProblem,
+    build_dirichlet_rows,
+    build_gluing,
+    constant_nullspace_columns,
+    rigid_body_modes,
+)
+from .solve import FetiOptions, FetiResult, assemble_qp, feti_solve

@@ -1,0 +1,197 @@
+"""TFETI solve facade — the KSPFETI analog.
+
+Chains: decomposed QP (block-diagonal K, gluing+Dirichlet equality
+constraints, per-subdomain nullspace R)
+  -> dualize (K+ = batched per-block regularized Cholesky, G = R'B')
+  -> homogenize_eq
+  -> enforce_eq_by_projector (projected CG; the default -feti pipeline,
+     QPTFetiPrepare, qptransform.c:1200-1210)  OR
+  -> SMALXE on (F, G) when project=False (the -project 0 variant)
+then folds post-solves back to the decomposed primal solution and assembles
+the global solution by averaging dof copies (QPTMatISToBlockDiag post-solve,
+qptransform.c:1905-1981).
+
+The dual preconditioner (reference: PCDUAL, src/pc/impls/dual/pcdual.c):
+'none' or 'lumped' = B K B' applied as y = B(K(B'x)), wrapped in the
+projector exactly as PCCreate_QPTEnforceEqByProjector does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..core.blockdiag import BlockColumns, BlockDiagDense
+from ..core.convergence import Tolerances
+from ..core.factor import BlockDiagCholInv
+from ..core.linop import Ell
+from ..qp.qp import QP
+from ..qp.transforms import (
+    Solution,
+    compose,
+    dualize,
+    enforce_eq_by_projector,
+    homogenize_eq,
+    orthonormalize_eq,
+)
+from ..solvers.cg import cg
+from ..solvers.smalxe import SMALXEOptions, smalxe
+from .assembly import (
+    FetiProblem,
+    build_dirichlet_rows,
+    build_gluing,
+    constant_nullspace_columns,
+    eliminate_dirichlet_in_blocks,
+)
+
+
+@dataclasses.dataclass
+class FetiOptions:
+    gluing: str = "full"  # QPFetiSetUp default (qpfeti.c:322)
+    scale: bool = True  # 1/sqrt(multiplicity) scaling (-SCALE_ON default)
+    dirichlet_by_B: bool = True  # enforce Dirichlet by constraint rows (TFETI)
+    project: bool = True  # projector pipeline vs SMALXE (-project)
+    pc_dual: str = "none"  # 'none' | 'lumped'
+    orth_G: Optional[str] = None  # None | 'gs' | 'cholesky' | 'implicit' (dual_qp_E_orth_type)
+    smalxe: SMALXEOptions = dataclasses.field(default_factory=SMALXEOptions)
+
+
+@dataclasses.dataclass
+class FetiResult:
+    x_global: np.ndarray
+    u_decomposed: Any
+    solution: Solution
+    result: Any  # inner solver result (CGResult / SMALXEResult / MPRGPResult)
+    qp: QP  # the decomposed primal QP
+    dual_qp: QP
+
+
+def assemble_qp(prob: FetiProblem, opts: FetiOptions = FetiOptions()):
+    """Build the decomposed-space QP: A = diag(K_s), BE = [Bd; Bg], R."""
+    ns, nl, N = prob.ns, prob.nl, prob.n_decomposed
+    K_blocks = prob.K_blocks
+    b_loc = prob.b_loc
+
+    blocks_coo = []
+    cE_parts = []
+    row_off = 0
+    if opts.dirichlet_by_B and len(prob.dirichlet):
+        dr, dc, dv, nd, cvals = build_dirichlet_rows(prob)
+        blocks_coo.append((dr + row_off, dc, dv))
+        cE_parts.append(cvals)
+        row_off += nd
+    elif len(prob.dirichlet):
+        K_blocks, b_loc, masks = eliminate_dirichlet_in_blocks(prob)
+
+    gr, gc, gv, ng = build_gluing(prob.l2g, opts.gluing, opts.scale)
+    blocks_coo.append((gr + row_off, gc, gv))
+    cE_parts.append(np.zeros(ng))
+    row_off += ng
+
+    rows = np.concatenate([t[0] for t in blocks_coo])
+    cols = np.concatenate([t[1] for t in blocks_coo])
+    vals = np.concatenate([t[2] for t in blocks_coo])
+    BE = Ell.from_scipy(sp.coo_matrix((vals, (rows, cols)), shape=(row_off, N)))
+    cE = jnp.asarray(np.concatenate(cE_parts))
+
+    # floating subdomains = singular blocks of the FINAL K (the reference
+    # learns this from MUMPS null-pivot counts per block, matinv.c:55-195)
+    floating = dataclasses.replace(prob, K_blocks=K_blocks).floating_mask()
+    fixed_mask = ~floating
+
+    # nullspace (constant modes for Poisson; callers can pre-build RBMs)
+    rr, rc, rv, k = constant_nullspace_columns(prob, fixed_mask)
+    R = Ell.from_scipy(sp.coo_matrix((rv, (rr, rc)), shape=(N, k))) if k else None
+
+    A = BlockDiagDense(blocks=jnp.asarray(K_blocks))
+    b = jnp.asarray(b_loc.reshape(-1))
+    qp = QP(A=A, b=b, BE=BE, cE=cE, R=R)
+    return qp, K_blocks, fixed_mask
+
+
+def make_blockdiag_kplus(K_blocks: np.ndarray, fixed_mask, prob: FetiProblem):
+    """Batched per-block regularized Cholesky K+ (the MAT_INV_BLOCKDIAG path
+    with MatRegularize, matinv.c:435-590 + permonmatregularize.c).
+
+    rho_s = lambda_max(K_s), Q_s = R_s R_s' with the normalized constant mode
+    over the block's real dofs (floating subdomains only)."""
+    Kreg = K_blocks.copy()
+    for s in range(prob.ns):
+        if fixed_mask is not None and fixed_mask[s]:
+            continue
+        rho = float(np.linalg.eigvalsh(K_blocks[s])[-1])
+        real = np.flatnonzero(prob.l2g[s] >= 0)
+        q = np.zeros((prob.nl, 1))
+        q[real, 0] = 1.0 / np.sqrt(len(real))
+        Kreg[s] = Kreg[s] + rho * (q @ q.T)
+    return BlockDiagCholInv.from_blocks(jnp.asarray(Kreg))
+
+
+def feti_solve(
+    prob: FetiProblem,
+    opts: FetiOptions = FetiOptions(),
+    tol: Tolerances = Tolerances(),
+) -> FetiResult:
+    qp, K_blocks, fixed_mask = assemble_qp(prob, opts)
+    kplus = make_blockdiag_kplus(K_blocks, fixed_mask, prob)
+
+    steps = []
+    dual, post_d = dualize(qp, kplus=kplus)
+    steps.append((dual, post_d))
+    cur = dual
+
+    if opts.orth_G and cur.BE is not None:
+        cur, post_o = orthonormalize_eq(cur, opts.orth_G)
+        steps.append((cur, post_o))
+
+    if cur.cE is not None:
+        cur, post_h = homogenize_eq(cur)
+        steps.append((cur, post_h))
+
+    # dual preconditioner (PCDUAL): lumped = B K B'
+    precond = None
+    if opts.pc_dual == "lumped":
+        A_blocks = BlockDiagDense(blocks=jnp.asarray(prob.K_blocks))
+        B = qp.BE
+
+        def precond(w):
+            return B.mv(A_blocks.mv(B.rmv(w)))
+
+    if cur.BE is None:
+        # no floating subdomains -> no coarse space: plain (preconditioned) CG
+        res = cg(cur, tol=tol, precond=precond)
+        sol = compose(steps)(Solution(x=res.x))
+    elif opts.project:
+        pf_holder = cur  # QP whose pf defines the projector
+        cur, post_p = enforce_eq_by_projector(cur)
+        steps.append((cur, post_p))
+        if cur.box is None and cur.BE is None:
+            # eq-only: projected CG (the reference picks KSP/PCPG here)
+            project = pf_holder.pf.apply_p if precond is not None else None
+            res = cg(cur, tol=tol, precond=precond, project=project)
+        else:
+            # box constraints survive (contact): SMALXE on the projected QP
+            res = smalxe(cur, opts=opts.smalxe, tol=tol)
+        sol = compose(steps)(Solution(x=res.x, Bt_lambda=getattr(res, "Bt_lambda", None)))
+    else:
+        res = smalxe(cur, opts=opts.smalxe, tol=tol)
+        sol = compose(steps)(Solution(x=res.x, Bt_lambda=res.Bt_lambda))
+
+    # assemble the global solution by averaging dof copies (padding skipped)
+    u = np.asarray(sol.x).reshape(prob.ns, prob.nl)
+    x_global = np.zeros(prob.n_global)
+    counts = np.zeros(prob.n_global)
+    for s in range(prob.ns):
+        real = prob.l2g[s] >= 0
+        np.add.at(x_global, prob.l2g[s][real], u[s][real])
+        np.add.at(counts, prob.l2g[s][real], 1.0)
+    x_global /= counts
+
+    return FetiResult(
+        x_global=x_global, u_decomposed=sol.x, solution=sol, result=res,
+        qp=qp, dual_qp=dual,
+    )

@@ -234,11 +234,15 @@ def orthonormalize_eq(qp: QP, method: str = "gs") -> Tuple[QP, PostSolve]:
 
     if qp.BE is None:
         return qp, lambda s: s
-    if method in ("implicit", "inexact"):
-        # no algebraic change; "implicit" marks orthonormality for downstream
-        child = qp.replace(pf=Projector.create(qp.BE, orthonormal_rows=(method == "implicit")))
-        return child, lambda s: s
+    if method == "inexact":
+        # INEXACT returns BE unchanged (permonmatorth.c); the exact projector
+        # stays available for Knoll-style initial guesses
+        return qp.replace(pf=Projector.create(qp.BE)), lambda s: s
     Bd = dense_rows(qp.BE)
+    # "implicit" keeps Q = T BE unassembled in the reference; with the small
+    # dense constraint dimension here the Cholesky form is the same algebra
+    if method == "implicit":
+        method = "cholesky"
     Q, T = orth_rows(Bd, method)
     cE = T @ qp.cE if qp.cE is not None else None
     BEn = Dense.create(Q)

@@ -346,9 +346,11 @@ def smalxe(
         m1_do = lag_flag & (opts.M1_update != 1.0) & (res.reason == ConvergedReason.CONVERGED_ATOL)
         M1 = jnp.where(m1_do, c["M1"] / opts.M1_update, c["M1"])
 
+        # the state may have transitioned during this inner solve; the rho
+        # update reads the CURRENT state (QPSSMALXEUpdateRho_SMALXE)
         G = res.rnorm
-        rho_upd = jnp.where(c["state"] == 3, opts.rho_update_late, opts.rho_update)
-        rho_flag = jnp.where(c["state"] == 3, True, lag_flag)
+        rho_upd = jnp.where(aux.state == 3, opts.rho_update_late, opts.rho_update)
+        rho_flag = jnp.where(aux.state == 3, True, lag_flag)
         rho_do = (G <= aux.enorm) & rho_flag & (rho_upd != 1.0)
         rho = jnp.where(rho_do, c["rho"] * rho_upd, c["rho"])
         # propagate to the inner MPRGP spectral data (QPSMPGPUpdateMaxEigenvalue)

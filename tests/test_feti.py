@@ -1,0 +1,151 @@
+"""TFETI end-to-end tests — parity with the reference feti tutorials.
+
+Oracles: feti/output/ex1_1.out (1 iteration), ex71_1_feti_gluing_type-nonred
+(16 iterations); see PARITY.md for the full status table.
+"""
+
+import numpy as np
+import pytest
+
+import permon_tpu as pt
+from permon_tpu.core.convergence import ConvergedReason, Tolerances
+from permon_tpu.feti import FetiOptions, FetiProblem, feti_solve
+from permon_tpu.feti.assembly import build_gluing, rigid_body_modes
+from permon_tpu.solvers.smalxe import SMALXEOptions
+
+
+class TestFetiEx1:
+    """1-D Poisson, 4 subdomains, ne=7 (reference: feti/ex1.c)."""
+
+    def test_projected_one_iteration(self):
+        from examples.feti_ex1 import build
+
+        prob = build(4, 7)
+        res = feti_solve(prob)
+        assert int(res.result.reason) == ConvergedReason.CONVERGED_RTOL
+        assert int(res.result.iterations) == 1  # oracle: ex1_1.out
+        # gluing feasibility at machine precision (oracle: ~3e-16 relative)
+        rE = np.asarray(res.qp.BE.mv(res.u_decomposed)) - np.asarray(res.qp.cE)
+        assert np.linalg.norm(rE) / np.linalg.norm(np.asarray(res.qp.b)) < 1e-12
+
+    def test_matches_direct_solve(self):
+        from examples.feti_ex1 import build
+
+        ns, ne = 4, 7
+        prob = build(ns, ne)
+        res = feti_solve(prob)
+        # assemble the global system and solve directly
+        n = ns * ne + 1
+        A = np.zeros((n, n))
+        b = np.zeros(n)
+        for s in range(ns):
+            gi = prob.l2g[s]
+            A[np.ix_(gi, gi)] += prob.K_blocks[s]
+            np.add.at(b, gi, prob.b_loc[s])
+        # Dirichlet rows
+        A[0, :] = 0
+        A[:, 0] = 0
+        A[0, 0] = 1
+        A[-1, :] = 0
+        A[:, -1] = 0
+        A[-1, -1] = 1
+        b[0] = b[-1] = 0
+        xref = np.linalg.solve(A, b)
+        np.testing.assert_allclose(res.x_global, xref, atol=1e-10)
+
+    def test_smalxe_variant(self):
+        """-project 0 -qps_smalxe_rho 1e1 -dual_qp_E_orth_type gs.
+
+        The iteration count (reference: 16) is not invariant to the choice of
+        generalized inverse K+ without the projector (see PARITY.md); assert
+        convergence and the KKT level instead."""
+        from examples.feti_ex1 import build
+
+        prob = build(4, 7)
+        res = feti_solve(
+            prob,
+            opts=FetiOptions(
+                project=False, orth_G="gs",
+                smalxe=SMALXEOptions(rho=1e1, inject_maxeig=True),
+            ),
+        )
+        assert int(res.result.reason) > 0
+        assert int(res.result.iterations) <= 20
+        rE = np.asarray(res.qp.BE.mv(res.u_decomposed)) - np.asarray(res.qp.cE)
+        normb = np.linalg.norm(np.asarray(res.qp.b))
+        assert np.linalg.norm(rE) / normb < 1e-5
+
+    @pytest.mark.parametrize("gluing", ["nonred", "full", "orth"])
+    def test_gluing_types_same_solution(self, gluing):
+        from examples.feti_ex1 import build
+
+        prob = build(3, 5)
+        res = feti_solve(prob, opts=FetiOptions(gluing=gluing))
+        assert int(res.result.reason) > 0
+        res_ref = feti_solve(prob, opts=FetiOptions(gluing="nonred"))
+        np.testing.assert_allclose(res.x_global, res_ref.x_global, atol=1e-8)
+
+
+class TestFetiEx71:
+    """3-D Poisson 7x8x9 cells, 6 subdomains (reference: feti/ex71.c test 1)."""
+
+    @pytest.mark.parametrize(
+        "gluing,max_its",
+        [("nonred", 16), ("full", 15), ("orth", 15)],
+    )
+    def test_poisson_3d(self, gluing, max_its):
+        from examples.feti_ex71 import main
+
+        prob, res = main(grid=(2, 3, 1), gluing=gluing, view=False)
+        assert int(res.result.reason) == ConvergedReason.CONVERGED_RTOL
+        its = int(res.result.iterations)
+        if gluing == "nonred":
+            assert its == 16  # oracle: ex71_1_feti_gluing_type-nonred.out
+        else:
+            assert its <= max_its
+
+    def test_lumped_preconditioner_helps(self):
+        from examples.feti_ex71 import build
+
+        prob = build((5, 5, 5), (1, 2, 3))
+        tol = Tolerances(rtol=1e-10)
+        r_none = feti_solve(prob, opts=FetiOptions(pc_dual="none"), tol=tol)
+        r_lump = feti_solve(prob, opts=FetiOptions(pc_dual="lumped"), tol=tol)
+        assert int(r_lump.result.reason) > 0
+        assert int(r_lump.result.iterations) <= int(r_none.result.iterations)
+        np.testing.assert_allclose(r_lump.x_global, r_none.x_global, atol=1e-6)
+
+
+class TestAssembly:
+    def test_gluing_row_patterns(self):
+        """Verify gluing values against the reference conventions
+        (qpfeti.c:527-565, 786-821) on a dof shared by 3 subdomains."""
+        l2g = np.array([[0, 1], [0, 2], [0, 3]])
+        # nonred: 2 rows pairing copy0 with copies 1, 2; scale 1/sqrt(3)
+        r, c, v, n = build_gluing(l2g, "nonred", scale=True)
+        assert n == 2
+        B = np.zeros((n, 6))
+        B[r, c] = v
+        s = 1 / np.sqrt(3)
+        np.testing.assert_allclose(B[0], [s, 0, -s, 0, 0, 0])
+        np.testing.assert_allclose(B[1], [s, 0, 0, 0, -s, 0])
+        # full: 3 rows = all pairs
+        r, c, v, n = build_gluing(l2g, "full", scale=True)
+        assert n == 3
+        # orth: 2 orthonormal rows
+        r, c, v, n = build_gluing(l2g, "orth")
+        B = np.zeros((n, 6))
+        B[r, c] = v
+        np.testing.assert_allclose(B @ B.T, np.eye(2), atol=1e-14)
+        # row k pattern: (1/k,...,-1)/sqrt(1/k+1)
+        np.testing.assert_allclose(B[0, 0], 1 / np.sqrt(2))
+        np.testing.assert_allclose(B[0, 2], -1 / np.sqrt(2))
+
+    def test_rigid_body_modes(self):
+        coords = np.random.default_rng(0).normal(size=(10, 3))
+        R = rigid_body_modes(coords)
+        assert R.shape == (30, 6)
+        np.testing.assert_allclose(R.T @ R, np.eye(6), atol=1e-12)
+        # translations + rotations annihilate a linear elastic operator's
+        # rigid motions: check rotation mode is a valid infinitesimal rotation
+        # (antisymmetric gradient) via the defining property R'R orthonormal
