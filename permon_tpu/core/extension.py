@@ -1,0 +1,96 @@
+"""Subdomain extension operator — the TPU-native MATEXTENSION.
+
+The reference stores the gluing operator B (and its transpose) as a small
+condensed block per rank plus VecScatters: MatMult = gather -> local mult ->
+scatter-add (reference: src/mat/impls/extension/extension.c:476-540).
+
+Here the same structure is a batched triplet (rows, cols, vals) of shape
+(ns, k): subdomain s contributes ``vals[s, t] * u[s, cols[s, t]]`` to dual
+entry ``rows[s, t]``.  Under a device mesh with the subdomain axis sharded:
+
+- ``rmv`` (B'lambda, dual -> primal) is embarrassingly parallel: each device
+  gathers from the replicated dual vector into its own subdomain slice — no
+  communication;
+- ``mv`` (B u, primal -> dual) is a per-device scatter-add into the dual
+  vector followed by one cross-device reduction — XLA lowers the replicated
+  output to a single psum over the ICI, the only collective in each dual
+  operator application (F = B K+ B'), mirroring the reference's
+  scatter/gather VecScatter pair.
+
+Padded slots use rows = m (one extra dummy dual entry) and vals = 0.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .linop import LinearOperator
+
+
+@struct.dataclass
+class SubdomainExtension(LinearOperator):
+    rows: jax.Array  # (ns, k) int32 — dual (link) indices, m = padding
+    cols: jax.Array  # (ns, k) int32 — local dof indices within the subdomain
+    vals: jax.Array  # (ns, k)
+    m_dual: int = struct.field(pytree_node=False)  # dual dimension
+    ns: int = struct.field(pytree_node=False)
+    nl: int = struct.field(pytree_node=False)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.m_dual, self.ns * self.nl)
+
+    @classmethod
+    def from_coo(cls, rows, cols, vals, m: int, ns: int, nl: int) -> "SubdomainExtension":
+        """Build from global COO over the decomposed space (cols in
+        [0, ns*nl), each entry belongs to subdomain cols // nl)."""
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals, dtype=np.float64)
+        sub = cols // nl
+        loc = cols % nl
+        counts = np.bincount(sub, minlength=ns)
+        k = max(int(counts.max()) if len(counts) else 0, 1)
+        r = np.full((ns, k), m, dtype=np.int32)
+        c = np.zeros((ns, k), dtype=np.int32)
+        v = np.zeros((ns, k), dtype=np.float64)
+        fill = np.zeros(ns, dtype=np.int64)
+        for t in range(len(rows)):
+            s = int(sub[t])
+            j = fill[s]
+            r[s, j] = rows[t]
+            c[s, j] = loc[t]
+            v[s, j] = vals[t]
+            fill[s] += 1
+        return cls(
+            rows=jnp.asarray(r), cols=jnp.asarray(c), vals=jnp.asarray(v),
+            m_dual=int(m), ns=int(ns), nl=int(nl),
+        )
+
+    def mv(self, u):
+        """B u: per-subdomain gather + scatter-add, then the cross-subdomain
+        sum (the single psum when sharded)."""
+        ub = u.reshape(self.ns, self.nl)
+        contrib = self.vals * jnp.take_along_axis(ub, self.cols, axis=1)
+        out = jnp.zeros(self.m_dual + 1, dtype=contrib.dtype)
+        out = out.at[self.rows.reshape(-1)].add(contrib.reshape(-1))
+        return out[: self.m_dual]
+
+    def rmv(self, lam):
+        """B' lambda: communication-free gather from the (replicated) dual."""
+        lam_pad = jnp.concatenate([lam, jnp.zeros(1, lam.dtype)])
+        gathered = self.vals * lam_pad[self.rows]
+        out = jnp.zeros((self.ns, self.nl), dtype=gathered.dtype)
+        out = jax.vmap(lambda o, c, g: o.at[c].add(g))(out, self.cols, gathered)
+        return out.reshape(-1)
+
+    def todense(self):
+        out = jnp.zeros((self.m_dual + 1, self.ns * self.nl), dtype=self.vals.dtype)
+        gcols = (jnp.arange(self.ns)[:, None] * self.nl + self.cols).reshape(-1)
+        out = out.at[self.rows.reshape(-1), gcols].add(self.vals.reshape(-1))
+        return out[: self.m_dual]

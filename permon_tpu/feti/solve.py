@@ -27,6 +27,7 @@ import scipy.sparse as sp
 
 from ..core.blockdiag import BlockColumns, BlockDiagDense
 from ..core.convergence import Tolerances
+from ..core.extension import SubdomainExtension
 from ..core.factor import BlockDiagCholInv
 from ..core.linop import Ell
 from ..qp.qp import QP
@@ -95,7 +96,9 @@ def assemble_qp(prob: FetiProblem, opts: FetiOptions = FetiOptions()):
     rows = np.concatenate([t[0] for t in blocks_coo])
     cols = np.concatenate([t[1] for t in blocks_coo])
     vals = np.concatenate([t[2] for t in blocks_coo])
-    BE = Ell.from_scipy(sp.coo_matrix((vals, (rows, cols)), shape=(row_off, N)))
+    # batched per-subdomain extension form: rmv is communication-free and mv
+    # needs a single psum when the subdomain axis is sharded over devices
+    BE = SubdomainExtension.from_coo(rows, cols, vals, m=row_off, ns=ns, nl=nl)
     cE = jnp.asarray(np.concatenate(cE_parts))
 
     # floating subdomains = singular blocks of the FINAL K (the reference

@@ -1,0 +1,1 @@
+from .dist import make_mesh, shard_extension, shard_qp
