@@ -1,0 +1,158 @@
+// permon_host — native host-side setup kernels for permon_tpu.
+//
+// The reference implements its setup machinery (gluing assembly via PetscSF
+// star forests, qpfeti.c:405-925; matrix format conversions,
+// extension.c:233-324) in C. These are the TPU-native counterparts: they run
+// on host at setup time and emit the static index/value arrays the device
+// operators consume. Exposed with a plain C ABI and loaded via ctypes
+// (permon_tpu/utils/native.py); a numpy fallback exists for every entry
+// point.
+//
+// Conventions: l2g is (ns, nl) int64 row-major with -1 marking padding dofs;
+// decomposed dof ids are s*nl + i; copies of a global dof are ordered by
+// subdomain index (the reference's rank order, which fixes gluing signs).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Count multiplicity of each global dof. mult must hold n_global zeros.
+void permon_multiplicity(const int64_t* l2g, int64_t ns, int64_t nl,
+                         int64_t n_global, int64_t* mult) {
+  for (int64_t s = 0; s < ns; ++s)
+    for (int64_t i = 0; i < nl; ++i) {
+      int64_t g = l2g[s * nl + i];
+      if (g >= 0) mult[g]++;
+    }
+}
+
+// Upper bound on gluing entries for buffer allocation.
+int64_t permon_gluing_bound(const int64_t* l2g, int64_t ns, int64_t nl,
+                            int64_t n_global, int32_t type) {
+  std::vector<int64_t> mult(n_global, 0);
+  permon_multiplicity(l2g, ns, nl, n_global, mult.data());
+  int64_t total = 0;
+  for (int64_t g = 0; g < n_global; ++g) {
+    int64_t d = mult[g];
+    if (d < 2) continue;
+    if (type == 1)  // full: all pairs, 2 entries each
+      total += d * (d - 1);
+    else if (type == 2)  // orth: row k has k+1 entries, k = 1..d-1
+      total += (d - 1) * (d + 2) / 2;
+    else  // nonred: d-1 pair rows
+      total += 2 * (d - 1);
+  }
+  return total;
+}
+
+// Build the gluing matrix Bg as COO over the decomposed space.
+// type: 0 = nonred, 1 = full, 2 = orth; scale: 1/sqrt(multiplicity) for
+// nonred/full (the reference's -SCALE_ON default, qpfeti.c:757-760).
+// exclude: optional sorted array of global dofs to skip (may be null).
+// Outputs rows/cols/vals sized by permon_gluing_bound; returns the number of
+// entries written; *n_rows_out receives the number of gluing rows.
+int64_t permon_build_gluing(const int64_t* l2g, int64_t ns, int64_t nl,
+                            int64_t n_global, int32_t type, int32_t scale,
+                            const int64_t* exclude, int64_t n_exclude,
+                            int64_t* rows, int64_t* cols, double* vals,
+                            int64_t* n_rows_out) {
+  // bucket the copies of each global dof, ordered by subdomain index
+  std::vector<int64_t> mult(n_global, 0);
+  permon_multiplicity(l2g, ns, nl, n_global, mult.data());
+  std::vector<int64_t> offs(n_global + 1, 0);
+  for (int64_t g = 0; g < n_global; ++g) offs[g + 1] = offs[g] + mult[g];
+  std::vector<int64_t> copies(offs[n_global]);
+  std::vector<int64_t> fill(n_global, 0);
+  for (int64_t s = 0; s < ns; ++s)
+    for (int64_t i = 0; i < nl; ++i) {
+      int64_t g = l2g[s * nl + i];
+      if (g >= 0) copies[offs[g] + fill[g]++] = s * nl + i;
+    }
+
+  int64_t t = 0, r = 0;
+  for (int64_t g = 0; g < n_global; ++g) {
+    int64_t d = mult[g];
+    if (d < 2) continue;
+    if (exclude && std::binary_search(exclude, exclude + n_exclude, g)) continue;
+    const int64_t* idx = &copies[offs[g]];
+    double ms = (scale && type != 2) ? 1.0 / std::sqrt((double)d) : 1.0;
+    if (type == 0) {  // nonred: (0, j) pairs
+      for (int64_t j = 1; j < d; ++j) {
+        rows[t] = r; cols[t] = idx[0]; vals[t] = ms; ++t;
+        rows[t] = r; cols[t] = idx[j]; vals[t] = -ms; ++t;
+        ++r;
+      }
+    } else if (type == 1) {  // full: all pairs
+      for (int64_t a = 0; a < d; ++a)
+        for (int64_t b = a + 1; b < d; ++b) {
+          rows[t] = r; cols[t] = idx[a]; vals[t] = ms; ++t;
+          rows[t] = r; cols[t] = idx[b]; vals[t] = -ms; ++t;
+          ++r;
+        }
+    } else {  // orth: row k = (1/k,...,1/k,-1)/sqrt(1/k + 1) on copies 0..k
+      for (int64_t k = 1; k < d; ++k) {
+        double nrm = 1.0 / std::sqrt(1.0 / (double)k + 1.0);
+        for (int64_t a = 0; a < k; ++a) {
+          rows[t] = r; cols[t] = idx[a]; vals[t] = nrm / (double)k; ++t;
+        }
+        rows[t] = r; cols[t] = idx[k]; vals[t] = -nrm; ++t;
+        ++r;
+      }
+    }
+  }
+  *n_rows_out = r;
+  return t;
+}
+
+// Pack a COO matrix over the decomposed space into the batched per-subdomain
+// extension triplets (ns, k). Returns k (max entries per subdomain); call
+// with rows_out == null first to query k, then with buffers of size ns*k.
+// Padded slots get row m (the dummy dual entry) and val 0.
+int64_t permon_pack_extension(const int64_t* rows, const int64_t* cols,
+                              const double* vals, int64_t nnz, int64_t m,
+                              int64_t ns, int64_t nl, int32_t* rows_out,
+                              int32_t* cols_out, double* vals_out) {
+  std::vector<int64_t> counts(ns, 0);
+  for (int64_t t = 0; t < nnz; ++t) counts[cols[t] / nl]++;
+  int64_t k = 1;
+  for (int64_t s = 0; s < ns; ++s) k = std::max(k, counts[s]);
+  if (!rows_out) return k;
+  for (int64_t s = 0; s < ns; ++s)
+    for (int64_t j = 0; j < k; ++j) {
+      rows_out[s * k + j] = (int32_t)m;
+      cols_out[s * k + j] = 0;
+      vals_out[s * k + j] = 0.0;
+    }
+  std::vector<int64_t> fill(ns, 0);
+  for (int64_t t = 0; t < nnz; ++t) {
+    int64_t s = cols[t] / nl;
+    int64_t j = fill[s]++;
+    rows_out[s * k + j] = (int32_t)rows[t];
+    cols_out[s * k + j] = (int32_t)(cols[t] % nl);
+    vals_out[s * k + j] = vals[t];
+  }
+  return k;
+}
+
+// Convert CSR to padded ELL. Call with cols_out == null to query k.
+int64_t permon_csr_to_ell(const int64_t* indptr, const int64_t* indices,
+                          const double* data, int64_t m, int32_t* cols_out,
+                          double* vals_out) {
+  int64_t k = 1;
+  for (int64_t i = 0; i < m; ++i) k = std::max(k, indptr[i + 1] - indptr[i]);
+  if (!cols_out) return k;
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t lo = indptr[i], hi = indptr[i + 1];
+    for (int64_t j = 0; j < k; ++j) {
+      cols_out[i * k + j] = (j < hi - lo) ? (int32_t)indices[lo + j] : 0;
+      vals_out[i * k + j] = (j < hi - lo) ? data[lo + j] : 0.0;
+    }
+  }
+  return k;
+}
+
+}  // extern "C"

@@ -52,21 +52,27 @@ class SubdomainExtension(LinearOperator):
         rows = np.asarray(rows)
         cols = np.asarray(cols)
         vals = np.asarray(vals, dtype=np.float64)
-        sub = cols // nl
-        loc = cols % nl
-        counts = np.bincount(sub, minlength=ns)
-        k = max(int(counts.max()) if len(counts) else 0, 1)
-        r = np.full((ns, k), m, dtype=np.int32)
-        c = np.zeros((ns, k), dtype=np.int32)
-        v = np.zeros((ns, k), dtype=np.float64)
-        fill = np.zeros(ns, dtype=np.int64)
-        for t in range(len(rows)):
-            s = int(sub[t])
-            j = fill[s]
-            r[s, j] = rows[t]
-            c[s, j] = loc[t]
-            v[s, j] = vals[t]
-            fill[s] += 1
+        from ..utils.native import pack_extension_native
+
+        packed = pack_extension_native(rows, cols, vals, m, ns, nl)
+        if packed is not None:
+            r, c, v = packed
+        else:
+            sub = cols // nl
+            loc = cols % nl
+            counts = np.bincount(sub, minlength=ns)
+            k = max(int(counts.max()) if len(counts) else 0, 1)
+            r = np.full((ns, k), m, dtype=np.int32)
+            c = np.zeros((ns, k), dtype=np.int32)
+            v = np.zeros((ns, k), dtype=np.float64)
+            fill = np.zeros(ns, dtype=np.int64)
+            for t in range(len(rows)):
+                s = int(sub[t])
+                j = fill[s]
+                r[s, j] = rows[t]
+                c[s, j] = loc[t]
+                v[s, j] = vals[t]
+                fill[s] += 1
         return cls(
             rows=jnp.asarray(r), cols=jnp.asarray(c), vals=jnp.asarray(v),
             m_dual=int(m), ns=int(ns), nl=int(nl),

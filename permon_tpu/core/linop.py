@@ -151,17 +151,27 @@ class Ell(LinearOperator):
 
     @classmethod
     def from_scipy(cls, a) -> "Ell":
-        """Build from any scipy.sparse matrix (host-side, setup only)."""
+        """Build from any scipy.sparse matrix (host-side, setup only).
+
+        Uses the native C++ converter (native/permon_host.cpp) when available,
+        falling back to a python loop for small matrices."""
         a = a.tocsr()
         m, n = a.shape
-        row_nnz = np.diff(a.indptr)
-        k = max(int(row_nnz.max()) if m else 0, 1)
-        cols = np.zeros((m, k), dtype=np.int32)
-        vals = np.zeros((m, k), dtype=a.dtype)
-        for i in range(m):
-            lo, hi = a.indptr[i], a.indptr[i + 1]
-            cols[i, : hi - lo] = a.indices[lo:hi]
-            vals[i, : hi - lo] = a.data[lo:hi]
+        from ..utils.native import csr_to_ell_native
+
+        packed = csr_to_ell_native(a) if m > 0 else None
+        if packed is not None:
+            cols, vals = packed
+            vals = vals.astype(a.dtype, copy=False)
+        else:
+            row_nnz = np.diff(a.indptr)
+            k = max(int(row_nnz.max()) if m else 0, 1)
+            cols = np.zeros((m, k), dtype=np.int32)
+            vals = np.zeros((m, k), dtype=a.dtype)
+            for i in range(m):
+                lo, hi = a.indptr[i], a.indptr[i + 1]
+                cols[i, : hi - lo] = a.indices[lo:hi]
+                vals[i, : hi - lo] = a.data[lo:hi]
         return cls(cols=jnp.asarray(cols), vals=jnp.asarray(vals), shape=(int(m), int(n)))
 
     @classmethod

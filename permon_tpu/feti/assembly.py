@@ -111,6 +111,11 @@ def build_gluing(
     ``exclude`` drops interface dofs (e.g. Dirichlet dofs when
     QPTRemoveGluingOfDirichletDofs semantics are wanted)."""
     assert gluing in GLUING_TYPES, gluing
+    from ..utils.native import build_gluing_native
+
+    native = build_gluing_native(l2g, gluing, scale, exclude)
+    if native is not None:
+        return native
     ns, nl = l2g.shape
     excl = set(int(g) for g in (exclude or ()))
     rows: List[int] = []
