@@ -23,6 +23,62 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def q1_elasticity_emat(dim: int, lam: float = 1.0, mu: float = 1.0) -> np.ndarray:
+    """Q1 isotropic elasticity element stiffness on the unit cube, nodes in
+    lexicographic order, dofs blocked per node, 2-point Gauss quadrature.
+
+    With lam = mu = 1 this reproduces the reference's hardcoded
+    elast_{1,2,3}D_emat tables (ex71.c:26-99) to machine precision."""
+    import itertools
+
+    gp = np.array([-1.0, 1.0]) / np.sqrt(3.0) * 0.5 + 0.5
+    nodes = [tuple(reversed(t)) for t in itertools.product((0, 1), repeat=dim)]
+    nn = len(nodes)
+    nstr = {1: 1, 2: 3, 3: 6}[dim]
+    D = np.zeros((nstr, nstr))
+    if dim == 1:
+        D[0, 0] = lam + 2 * mu
+    else:
+        D[:dim, :dim] = lam
+        for d in range(dim):
+            D[d, d] = lam + 2 * mu
+        for d in range(dim, nstr):
+            D[d, d] = mu
+    K = np.zeros((nn * dim, nn * dim))
+    for q in itertools.product(range(2), repeat=dim):
+        x = np.array([gp[qi] for qi in q])
+        dN = np.zeros((nn, dim))
+        for a, nd in enumerate(nodes):
+            for d in range(dim):
+                prod = 1.0
+                for e in range(dim):
+                    val = x[e] if nd[e] == 1 else 1.0 - x[e]
+                    der = 1.0 if nd[e] == 1 else -1.0
+                    prod *= der if e == d else val
+                dN[a, d] = prod
+        B = np.zeros((nstr, nn * dim))
+        for a in range(nn):
+            if dim == 1:
+                B[0, a] = dN[a, 0]
+            elif dim == 2:
+                B[0, a * 2] = dN[a, 0]
+                B[1, a * 2 + 1] = dN[a, 1]
+                B[2, a * 2] = dN[a, 1]
+                B[2, a * 2 + 1] = dN[a, 0]
+            else:
+                B[0, a * 3] = dN[a, 0]
+                B[1, a * 3 + 1] = dN[a, 1]
+                B[2, a * 3 + 2] = dN[a, 2]
+                B[3, a * 3] = dN[a, 1]
+                B[3, a * 3 + 1] = dN[a, 0]
+                B[4, a * 3 + 1] = dN[a, 2]
+                B[4, a * 3 + 2] = dN[a, 1]
+                B[5, a * 3] = dN[a, 2]
+                B[5, a * 3 + 2] = dN[a, 0]
+        K += (1.0 / 2**dim) * B.T @ D @ B
+    return K
+
+
 # the reference's hardcoded Q1 element stiffness (lexicographic node order)
 POISS_3D_EMAT = np.array([
     [ 1/3,    0,     0,    -1/12,  0,    -1/12, -1/12, -1/12],
@@ -42,12 +98,15 @@ def _axis_split(M, m):
     return [base + (1 if i < M % m else 0) for i in range(m)]
 
 
-def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled"):
+def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled", pde="poisson"):
     """Build the decomposed problem.
 
     dirichlet_diag: how MatZeroRowsColumns sets local diagonals on shared
     fixed dofs — 'assembled': each copy gets diag/multiplicity so the
-    assembled diagonal is 1.0; 'copy': each copy gets 1.0.
+    assembled diagonal is 1.0; 'copy': each copy gets 1.0; 'owner': the
+    lowest-rank copy gets 1.0 and other copies get a zero row/column (their
+    blocks turn singular with e_i null vectors — pair with
+    FetiOptions(nullspace='numeric')).
     """
     from permon_tpu.feti import FetiProblem
     from permon_tpu.feti.assembly import decompose_rhs_by_multiplicity
@@ -88,42 +147,65 @@ def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled"):
                             cells_list.append(corner)
                 subs.append((nodes, cells_list))
 
-    nl = max(len(nodes) for nodes, _ in subs)
+    dof = 3 if pde == "elasticity" else 1
+    emat = q1_elasticity_emat(3) if pde == "elasticity" else POISS_3D_EMAT
+    nn_max = max(len(nodes) for nodes, _ in subs)
+    nl = nn_max * dof
     K = np.zeros((ns, nl, nl))
     b = np.zeros((ns, nl))
     l2g = np.full((ns, nl), -1, dtype=np.int64)
+    coords = np.zeros((ns, nn_max, 3))
     for s, (nodes, cells_list) in enumerate(subs):
         for g, i in nodes.items():
-            l2g[s, i] = g
+            for c in range(dof):
+                l2g[s, i * dof + c] = g * dof + c
+            gi = g % Mx
+            gj = (g // Mx) % My
+            gk = g // (Mx * My)
+            coords[s, i] = (gi, gj, gk)
         for corner in cells_list:
-            idx = np.array(corner)
-            K[s][np.ix_(idx, idx)] += POISS_3D_EMAT
+            idx = np.concatenate([[n * dof + c for c in range(dof)] for n in corner])
+            K[s][np.ix_(idx, idx)] += emat
         # padding: unit diagonal so the block stays factorizable
-        for i in range(len(nodes), nl):
+        for i in range(len(nodes) * dof, nl):
             K[s, i, i] = 1.0
-        b[s, : len(nodes)] = 1.0  # global rhs = 1 at every node
+        # assembled (global) rhs = 1 at every dof, as VecSet(b, 1.0); the
+        # copy-sum over subdomains must equal 1, so mark one copy per dof and
+        # let decompose_rhs_by_multiplicity D-split it into 1/mult per copy
+        # (QPTMatISToBlockDiag rhs decomposition, qptransform.c:2097-2115)
+        pass
 
     # multiplicity of each global dof (for the Dirichlet diagonal convention)
-    mult = np.zeros(Mx * My * Mz)
+    mult = np.zeros(Mx * My * Mz * dof)
     for s in range(ns):
         real = l2g[s] >= 0
         np.add.at(mult, l2g[s][real], 1.0)
+    for s in range(ns):
+        real = l2g[s] >= 0
+        b[s][real] = 1.0 / mult[l2g[s][real]]
 
     # Dirichlet x=0 face: zero rows/cols, unit assembled diagonal, rhs kept
-    fixed_g = {gid(0, j, k) for j in range(My) for k in range(Mz)}
+    fixed_nodes = {gid(0, j, k) for j in range(My) for k in range(Mz)}
+    fixed_g = {n * dof + c for n in fixed_nodes for c in range(dof)}
+    seen = set()
     for s in range(ns):
         for i in range(nl):
             g = l2g[s, i]
             if g >= 0 and int(g) in fixed_g:
                 K[s][i, :] = 0.0
                 K[s][:, i] = 0.0
-                K[s][i, i] = (
-                    1.0 / mult[g] if dirichlet_diag == "assembled" else 1.0
-                )
+                if dirichlet_diag == "assembled":
+                    K[s][i, i] = 1.0 / mult[g]
+                elif dirichlet_diag == "owner":
+                    K[s][i, i] = 1.0 if int(g) not in seen else 0.0
+                    seen.add(int(g))
+                else:
+                    K[s][i, i] = 1.0
 
     b = decompose_rhs_by_multiplicity(b, l2g)
     return FetiProblem(
-        K_blocks=K, b_loc=b, l2g=l2g, dirichlet=np.array([], dtype=np.int64)
+        K_blocks=K, b_loc=b, l2g=l2g, dirichlet=np.array([], dtype=np.int64),
+        coords=coords,
     )
 
 

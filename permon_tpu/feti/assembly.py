@@ -113,6 +113,8 @@ def build_gluing(
     assert gluing in GLUING_TYPES, gluing
     from ..utils.native import build_gluing_native
 
+    if exclude is not None:
+        exclude = np.asarray(sorted(int(g) for g in exclude), dtype=np.int64)
     native = build_gluing_native(l2g, gluing, scale, exclude)
     if native is not None:
         return native
@@ -201,6 +203,40 @@ def eliminate_dirichlet_in_blocks(prob: FetiProblem):
             b[s][i] = alpha * val
             masks[s, i] = True
     return K, b, masks
+
+
+def numeric_nullspace_blocks(
+    K_blocks: np.ndarray, l2g: np.ndarray, tol: float = 1e-8
+) -> List[np.ndarray]:
+    """Per-block numeric nullspace bases by eigendecomposition — the direct
+    analog of MUMPS null-pivot detection + ICNTL(25) basis computation
+    (reference: matinv.c:55-195), run per MATBLOCKDIAG block.
+
+    Returns a list of (nl, k_s) orthonormal bases (k_s may be 0).  Padding
+    dofs (l2g < 0) carry unit diagonals and never enter a nullspace."""
+    out = []
+    for s in range(K_blocks.shape[0]):
+        w, v = np.linalg.eigh(K_blocks[s])
+        scale = max(abs(w[-1]), abs(w[0]), 1.0)
+        k = int(np.sum(np.abs(w) <= tol * scale))
+        out.append(v[:, :k] if k else np.zeros((K_blocks.shape[1], 0)))
+    return out
+
+
+def nullspace_columns_from_blocks(bases: List[np.ndarray]):
+    """Stack per-block bases into global COO columns of the block-diagonal R
+    (MatCreateBlockDiag(R_loc), matinv.c:180-187)."""
+    rows, cols, vals = [], [], []
+    col = 0
+    nl = bases[0].shape[0] if bases else 0
+    for s, B in enumerate(bases):
+        for j in range(B.shape[1]):
+            nz = np.flatnonzero(np.abs(B[:, j]) > 0)
+            rows.extend((s * nl + nz).tolist())
+            cols.extend([col] * len(nz))
+            vals.extend(B[nz, j].tolist())
+            col += 1
+    return np.array(rows), np.array(cols), np.array(vals, dtype=np.float64), col
 
 
 def constant_nullspace_columns(prob: FetiProblem, fixed_mask: Optional[np.ndarray] = None):

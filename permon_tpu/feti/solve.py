@@ -58,6 +58,10 @@ class FetiOptions:
     project: bool = True  # projector pipeline vs SMALXE (-project)
     pc_dual: str = "none"  # 'none' | 'lumped'
     orth_G: Optional[str] = None  # None | 'gs' | 'cholesky' | 'implicit' (dual_qp_E_orth_type)
+    #: nullspace source: 'constant' (analytic constant modes, Poisson),
+    #: 'numeric' (per-block eigendecomposition, the MUMPS null-pivot analog),
+    #: 'rbm' (rigid body modes from prob.coords, elasticity)
+    nullspace: str = "constant"
     smalxe: SMALXEOptions = dataclasses.field(default_factory=SMALXEOptions)
 
 
@@ -106,31 +110,61 @@ def assemble_qp(prob: FetiProblem, opts: FetiOptions = FetiOptions()):
     floating = dataclasses.replace(prob, K_blocks=K_blocks).floating_mask()
     fixed_mask = ~floating
 
-    # nullspace (constant modes for Poisson; callers can pre-build RBMs)
-    rr, rc, rv, k = constant_nullspace_columns(prob, fixed_mask)
+    # nullspace: per-block bases R_s -> block-diagonal R (matinv.c:55-195)
+    from .assembly import (
+        numeric_nullspace_blocks,
+        nullspace_columns_from_blocks,
+        rigid_body_modes,
+    )
+
+    null_bases = None
+    if opts.nullspace == "numeric":
+        null_bases = numeric_nullspace_blocks(K_blocks, prob.l2g)
+        rr, rc, rv, k = nullspace_columns_from_blocks(null_bases)
+    elif opts.nullspace == "rbm":
+        assert prob.coords is not None, "rbm nullspace needs prob.coords"
+        null_bases = []
+        for s in range(ns):
+            if fixed_mask[s]:
+                null_bases.append(np.zeros((nl, 0)))
+                continue
+            modes = rigid_body_modes(prob.coords[s])
+            pad = np.zeros((nl, modes.shape[1]))
+            pad[: modes.shape[0], :] = modes
+            null_bases.append(pad)
+        rr, rc, rv, k = nullspace_columns_from_blocks(null_bases)
+    else:
+        rr, rc, rv, k = constant_nullspace_columns(prob, fixed_mask)
     R = Ell.from_scipy(sp.coo_matrix((rv, (rr, rc)), shape=(N, k))) if k else None
 
     A = BlockDiagDense(blocks=jnp.asarray(K_blocks))
     b = jnp.asarray(b_loc.reshape(-1))
     qp = QP(A=A, b=b, BE=BE, cE=cE, R=R)
-    return qp, K_blocks, fixed_mask
+    return qp, K_blocks, fixed_mask, null_bases
 
 
-def make_blockdiag_kplus(K_blocks: np.ndarray, fixed_mask, prob: FetiProblem):
+def make_blockdiag_kplus(
+    K_blocks: np.ndarray, fixed_mask, prob: FetiProblem, null_bases=None
+):
     """Batched per-block regularized Cholesky K+ (the MAT_INV_BLOCKDIAG path
     with MatRegularize, matinv.c:435-590 + permonmatregularize.c).
 
-    rho_s = lambda_max(K_s), Q_s = R_s R_s' with the normalized constant mode
-    over the block's real dofs (floating subdomains only)."""
+    rho_s = lambda_max(K_s), Q_s = R_s R_s' from the block's nullspace basis
+    (default: the normalized constant mode over real dofs — Poisson)."""
     Kreg = K_blocks.copy()
     for s in range(prob.ns):
-        if fixed_mask is not None and fixed_mask[s]:
-            continue
+        if null_bases is not None:
+            Q = null_bases[s]
+            if Q.shape[1] == 0:
+                continue
+        else:
+            if fixed_mask is not None and fixed_mask[s]:
+                continue
+            real = np.flatnonzero(prob.l2g[s] >= 0)
+            Q = np.zeros((prob.nl, 1))
+            Q[real, 0] = 1.0 / np.sqrt(len(real))
         rho = float(np.linalg.eigvalsh(K_blocks[s])[-1])
-        real = np.flatnonzero(prob.l2g[s] >= 0)
-        q = np.zeros((prob.nl, 1))
-        q[real, 0] = 1.0 / np.sqrt(len(real))
-        Kreg[s] = Kreg[s] + rho * (q @ q.T)
+        Kreg[s] = Kreg[s] + rho * (Q @ Q.T)
     return BlockDiagCholInv.from_blocks(jnp.asarray(Kreg))
 
 
@@ -139,8 +173,8 @@ def feti_solve(
     opts: FetiOptions = FetiOptions(),
     tol: Tolerances = Tolerances(),
 ) -> FetiResult:
-    qp, K_blocks, fixed_mask = assemble_qp(prob, opts)
-    kplus = make_blockdiag_kplus(K_blocks, fixed_mask, prob)
+    qp, K_blocks, fixed_mask, null_bases = assemble_qp(prob, opts)
+    kplus = make_blockdiag_kplus(K_blocks, fixed_mask, prob, null_bases)
 
     steps = []
     dual, post_d = dualize(qp, kplus=kplus)

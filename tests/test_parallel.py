@@ -40,7 +40,7 @@ class TestShardedTfeti:
         res_ref = feti_solve(prob, opts=opts)
 
         # sharded run of the same pipeline
-        qp, Kb, fixed = assemble_qp(prob, opts)
+        qp, Kb, fixed, _nb = assemble_qp(prob, opts)
         kplus = make_blockdiag_kplus(Kb, fixed, prob)
         mesh = make_mesh(8)
         qp_sh, kplus_sh = shard_qp(qp, kplus, mesh)
@@ -62,7 +62,7 @@ class TestShardedTfeti:
         from examples.feti_ex1 import build
 
         prob = build(ns=8, ne=3)
-        qp, Kb, fixed = assemble_qp(prob, FetiOptions())
+        qp, Kb, fixed, _nb = assemble_qp(prob, FetiOptions())
         kplus = make_blockdiag_kplus(Kb, fixed, prob)
         mesh = make_mesh(8)
         qp_sh, kplus_sh = shard_qp(qp, kplus, mesh)
