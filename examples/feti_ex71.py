@@ -209,16 +209,34 @@ def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled", pde="pois
     )
 
 
-def main(cells=(7, 8, 9), grid=(1, 2, 3), gluing="full", view=True, **kw):
+def main(cells=(7, 8, 9), grid=(1, 2, 3), gluing="full", view=True, pde="poisson",
+         rtol=None, **kw):
+    from permon_tpu.core.convergence import Tolerances
     from permon_tpu.feti import FetiOptions, feti_solve
     from permon_tpu.viewers import view_convergence
 
-    prob = build(cells, grid)
-    res = feti_solve(prob, opts=FetiOptions(gluing=gluing, **kw))
+    prob = build(cells, grid, pde=pde)
+    tol = Tolerances(rtol=rtol) if rtol else Tolerances()
+    res = feti_solve(prob, opts=FetiOptions(gluing=gluing, **kw), tol=tol)
     if view:
         print(view_convergence(res.result))
     return prob, res
 
 
+def main_elasticity(pc_dual="none", view=True):
+    """The nsize-7 elasticity test (ex71.c test 2): -pde_type Elasticity
+    -dim 3 -qps_rtol 1e-6 -dual_pc_dual_type {none,lumped}; reference
+    oracles 66 (none) / 26 (lumped) iterations."""
+    return main(
+        cells=(8, 6, 4), grid=(7, 1, 1), pde="elasticity", gluing="nonred",
+        pc_dual=pc_dual, nullspace="numeric", rtol=1e-6, view=view,
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "elasticity":
+        main_elasticity(sys.argv[2] if len(sys.argv) > 2 else "none")
+    else:
+        main(gluing=sys.argv[1] if len(sys.argv) > 1 else "full")

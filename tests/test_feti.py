@@ -104,6 +104,17 @@ class TestFetiEx71:
         else:
             assert its <= max_its
 
+    @pytest.mark.parametrize("pc,max_its", [("none", 66), ("lumped", 26)])
+    def test_elasticity_3d(self, pc, max_its):
+        """3-D elasticity, 7 subdomains, rigid-body nullspaces detected
+        numerically, rtol 1e-6 (reference: feti/ex71.c test 2; oracles
+        ex71_2_dual_pc_dual_type-{none,lumped}.out: 66 / 26 its)."""
+        from examples.feti_ex71 import main_elasticity
+
+        prob, res = main_elasticity(pc, view=False)
+        assert int(res.result.reason) == ConvergedReason.CONVERGED_RTOL
+        assert int(res.result.iterations) <= max_its
+
     def test_lumped_preconditioner_helps(self):
         from examples.feti_ex71 import build
 
