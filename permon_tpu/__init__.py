@@ -33,18 +33,22 @@ from .core.linop import (
     Diagonal,
     Ell,
     Identity,
+    OneRow,
     Penalized,
     Product,
     Scaled,
     Sum,
+    Timer,
     Transpose,
     aslinearoperator,
 )
 from .core.eig import max_eigenvalue
 from .core.convergence import ConvergedReason, Tolerances
+from .core import vec
 from .qp.qp import QP
 from .solvers.driver import solve
 from .solvers.mprgp import MPRGPOptions, mprgp
+from .sys.options import Options, solve_from_options
 
 __all__ = [
     "LinearOperator",
@@ -52,17 +56,22 @@ __all__ = [
     "Diagonal",
     "Ell",
     "Identity",
+    "OneRow",
     "Penalized",
     "Product",
     "Scaled",
     "Sum",
+    "Timer",
     "Transpose",
     "aslinearoperator",
     "max_eigenvalue",
     "ConvergedReason",
     "Tolerances",
+    "vec",
     "QP",
     "solve",
     "MPRGPOptions",
     "mprgp",
+    "Options",
+    "solve_from_options",
 ]

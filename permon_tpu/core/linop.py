@@ -372,3 +372,66 @@ def aslinearoperator(a) -> LinearOperator:
     except ImportError:
         pass
     raise TypeError(f"cannot interpret {type(a)} as LinearOperator")
+
+
+@struct.dataclass
+class OneRow(LinearOperator):
+    """1 x n operator from a vector: mv = [v'x], rmv = y[0]*v — the MATONEROW
+    analog used for single scalar constraints (reference:
+    src/mat/impls/onerow/onerow.c:5-50)."""
+
+    v: jax.Array
+
+    @property
+    def shape(self):
+        return (1, int(self.v.shape[0]))
+
+    def mv(self, x):
+        return jnp.vdot(self.v, x)[None]
+
+    def rmv(self, y):
+        return y[0] * self.v
+
+    def todense(self):
+        return self.v[None, :]
+
+
+@struct.dataclass
+class Timer(LinearOperator):
+    """Instrumentation wrapper — the MATTIMER analog (reference:
+    src/mat/impls/timer/mattimer.c).  Each operation runs inside a
+    jax.named_scope (visible in XLA/profiler traces) and bumps a host-side
+    counter dict shared with :mod:`permon_tpu.sys.tracing`.
+
+    Wrapping is free under jit: the scopes only annotate the HLO, and the
+    counters count TRACES (per-compilation op counts), which together with
+    iteration counts gives the per-operator apply totals the reference logs
+    via PetscLogEvent."""
+
+    inner: Any
+    name: str = struct.field(pytree_node=False, default="op")
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    def _count(self, op: str):
+        from ..sys.tracing import count_op
+
+        count_op(self.name, op)
+
+    def mv(self, x):
+        self._count("mv")
+        with jax.named_scope(f"{self.name}.mv"):
+            return self.inner.mv(x)
+
+    def rmv(self, x):
+        self._count("rmv")
+        with jax.named_scope(f"{self.name}.rmv"):
+            return self.inner.rmv(x)
+
+    def diagonal(self):
+        return self.inner.diagonal()
+
+    def todense(self):
+        return self.inner.todense()

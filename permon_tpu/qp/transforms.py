@@ -13,6 +13,12 @@ Implemented transforms and their reference counterparts:
 - :func:`enforce_eq_by_projector` — QPTEnforceEqByProjector (qptransform.c:215-316)
 - :func:`enforce_eq_by_penalty`   — QPTEnforceEqByPenalty   (qptransform.c:329-410)
 - :func:`orthonormalize_eq`   — QPTOrthonormalizeEq (qptransform.c:566-660)
+- :func:`scale_objective_by_scalar` — QPTScaleObjectiveByScalar (qptransform.c:1704-1771)
+- :func:`normalize_objective` — QPTNormalizeObjective (qptransform.c:1574-1592)
+- :func:`normalize_hessian`   — QPTNormalizeHessian   (qptransform.c:1611-1625)
+- :func:`freeze_ineq`         — QPTFreezeIneq     (qptransform.c:1810-1826)
+- :func:`scale`               — QPTScale          (qptransform.c:1437-1553)
+- :func:`all_in_one`          — QPTAllInOne       (qptransform.c:2151-2205)
 """
 
 from __future__ import annotations
@@ -255,3 +261,184 @@ def orthonormalize_eq(qp: QP, method: str = "gs") -> Tuple[QP, PostSolve]:
         return sol.replace(lambda_E=lam)
 
     return child, post
+
+
+# --------------------------------------------------------------------------
+# objective scaling / normalization
+# --------------------------------------------------------------------------
+
+
+def scale_objective_by_scalar(qp: QP, scale_A, scale_b) -> Tuple[QP, PostSolve]:
+    """A *= scale_A, b *= scale_b; the child solution is scaled by
+    scale_A/scale_b, box bounds by scale_b/scale_A skipping +-inf entries
+    (VecScaleSkipInf), and all multipliers map back via 1/scale_b
+    (QPTScaleObjectiveByScalar, qptransform.c:1704-1771)."""
+    from ..core.linop import Scaled
+
+    sA = jnp.asarray(scale_A, qp.b.dtype)
+    sb = jnp.asarray(scale_b, qp.b.dtype)
+    box = qp.box
+    if box is not None:
+        s = sb / sA
+        # VecScaleSkipInf: infinite entries stay infinite
+        lb = jnp.where(jnp.isinf(box.lb), box.lb, box.lb * s)
+        ub = jnp.where(jnp.isinf(box.ub), box.ub, box.ub * s)
+        box = box.replace(lb=lb, ub=ub)
+    child = qp.replace(A=Scaled(inner=qp.A, scale=sA), b=qp.b * sb, box=box, x0=None)
+
+    def post(sol: Solution) -> Solution:
+        out = sol.replace(x=sol.x * (sA / sb))
+        if sol.lambda_E is not None:
+            out = out.replace(lambda_E=sol.lambda_E / sb)
+        if sol.lambda_I is not None:
+            out = out.replace(lambda_I=sol.lambda_I / sb)
+        if sol.Bt_lambda is not None:
+            out = out.replace(Bt_lambda=sol.Bt_lambda / sb)
+        return out
+
+    return child, post
+
+
+def normalize_objective(qp: QP) -> Tuple[QP, PostSolve]:
+    """scale_A = 1/||A|| (power method), scale_b = 1/||b|| (or 1/||A|| when
+    ||b|| = 0) (QPTNormalizeObjective, qptransform.c:1574-1592)."""
+    from ..core.eig import max_eigenvalue
+
+    norm_A = max_eigenvalue(qp.A)
+    norm_b = jnp.linalg.norm(qp.b)
+    norm_b = jnp.where(norm_b == 0, norm_A, norm_b)
+    return scale_objective_by_scalar(qp, 1.0 / norm_A, 1.0 / norm_b)
+
+
+def normalize_hessian(qp: QP) -> Tuple[QP, PostSolve]:
+    """scale_A = scale_b = 1/||A|| (QPTNormalizeHessian, qptransform.c:1611)."""
+    from ..core.eig import max_eigenvalue
+
+    norm_A = max_eigenvalue(qp.A)
+    return scale_objective_by_scalar(qp, 1.0 / norm_A, 1.0 / norm_A)
+
+
+# --------------------------------------------------------------------------
+# freeze_ineq / scale
+# --------------------------------------------------------------------------
+
+
+def freeze_ineq(qp: QP) -> Tuple[QP, PostSolve]:
+    """Move BI, cI into the equality block (active-set freeze): child BE =
+    [BE; BI], cE = [cE; cI] (QPTFreezeIneq, qptransform.c:1810-1826).  The
+    post-solve splits lambda_E back into the parent's lambda_E/lambda_I."""
+    assert qp.BI is not None, "freeze_ineq needs inequality constraints"
+    mI = qp.BI.shape[0]
+    cI = qp.cI if qp.cI is not None else jnp.zeros(mI, qp.b.dtype)
+    if qp.BE is None:
+        child = qp.replace(BE=qp.BI, cE=cI, BI=None, cI=None, pf=None)
+
+        def post(sol: Solution) -> Solution:
+            return sol.replace(lambda_I=sol.lambda_E, lambda_E=None)
+
+    else:
+        mE = qp.BE.shape[0]
+        cE = qp.cE if qp.cE is not None else jnp.zeros(mE, qp.b.dtype)
+        child = qp.replace(
+            BE=VStack((qp.BE, qp.BI)), cE=jnp.concatenate([cE, cI]),
+            BI=None, cI=None, pf=None,
+        )
+
+        def post(sol: Solution) -> Solution:
+            lam = sol.lambda_E
+            if lam is None:
+                return sol
+            return sol.replace(lambda_E=lam[:mE], lambda_I=lam[mE:])
+
+    return child, post
+
+
+def eq_multiplicity_scaling(qp: QP) -> jax.Array:
+    """Per-row scaling d with d_i = 1/sqrt(multiplicity) for gluing-type BE
+    rows — the ddm variant of constraint scaling (QPGetEqMultiplicityScaling,
+    qp.c:1632+).  Multiplicity of row i = its number of nonzeros (a gluing
+    row pairs copies of one dof)."""
+    Bd = dense_rows(qp.BE)
+    nnz = jnp.sum(jnp.abs(Bd) > 0, axis=1)
+    return 1.0 / jnp.sqrt(jnp.maximum(nnz, 1).astype(Bd.dtype))
+
+
+def scale(qp: QP, scale_O: Optional[str] = None, scale_E: Optional[str] = None) -> Tuple[QP, PostSolve]:
+    """Row scaling of the objective / equality constraints (QPTScale,
+    qptransform.c:1437-1553).  scale_O: None|'rows_norm_2'; scale_E:
+    None|'rows_norm_2'|'ddm_multiplicity'.  Defaults are no-ops, matching
+    the reference's QP_SCALE_NONE defaults."""
+    child = qp
+    dE = None
+    if scale_O == "rows_norm_2":
+        Ad = qp.A.todense()
+        d = 1.0 / jnp.linalg.norm(Ad, axis=1)
+        child = child.replace(A=Dense.create(d[:, None] * Ad), b=d * qp.b)
+    elif scale_O is not None:
+        raise ValueError(f"unsupported scale_O {scale_O!r}")
+    if scale_E is not None and qp.BE is not None:
+        if scale_E == "rows_norm_2":
+            Bd = dense_rows(qp.BE)
+            dE = 1.0 / jnp.linalg.norm(Bd, axis=1)
+        elif scale_E == "ddm_multiplicity":
+            dE = eq_multiplicity_scaling(qp)
+            Bd = dense_rows(qp.BE)
+        else:
+            raise ValueError(f"unsupported scale_E {scale_E!r}")
+        cE = dE * qp.cE if qp.cE is not None else None
+        child = child.replace(BE=Dense.create(dE[:, None] * Bd), cE=cE, pf=None)
+
+    dE_cap = dE
+
+    def post(sol: Solution) -> Solution:
+        if dE_cap is not None and sol.lambda_E is not None:
+            return sol.replace(lambda_E=dE_cap * sol.lambda_E)
+        return sol
+
+    return child, post
+
+
+def all_in_one(
+    qp: QP,
+    dual: bool = True,
+    project: bool = True,
+    penalty: float = 0.0,
+    regularize: bool = True,
+    normalize: Optional[str] = None,
+    freeze: bool = False,
+    orth_eq: Optional[str] = None,
+    kplus=None,
+) -> Tuple[QP, PostSolve]:
+    """The option-driven transform pipeline (QPTAllInOne, qptransform.c:
+    2151-2205): [normalize] -> Scale -> [OrthonormalizeEq] -> [FreezeIneq]
+    -> [Dualize -> Scale -> OrthonormalizeEq] -> [EnforceEqByProjector] ->
+    [EnforceEqByPenalty].  Returns the last child and the composed
+    post-solve.  The `-feti` shorthand is dual=True, project=True with a
+    block-diagonal kplus (QPTFromOptions, qptransform.c:2208-2237)."""
+    steps: List[Tuple[QP, PostSolve]] = []
+
+    def apply(fn, *a, **k):
+        nonlocal qp
+        qp, ps = fn(qp, *a, **k)
+        steps.append((qp, ps))
+
+    if normalize == "objective":
+        apply(normalize_objective)
+    elif normalize == "hessian":
+        apply(normalize_hessian)
+    if orth_eq and qp.BE is not None:
+        apply(orthonormalize_eq, orth_eq)
+    if freeze and qp.BI is not None:
+        apply(freeze_ineq)
+    if dual:
+        apply(dualize, regularize=regularize, kplus=kplus)
+        if orth_eq and qp.BE is not None:
+            apply(orthonormalize_eq, orth_eq)
+    if project and qp.BE is not None:
+        if qp.cE is not None:
+            apply(homogenize_eq)
+        apply(enforce_eq_by_projector)
+    if penalty:
+        assert qp.BE is not None
+        apply(enforce_eq_by_penalty, penalty)
+    return qp, compose(steps)

@@ -82,3 +82,30 @@ def cg(
     x, r, w, *_rest = out = jax.lax.while_loop(lambda c: c[7] == 0, body, carry0)
     _, _, w, _, _, _, it, reason, nmv = out
     return CGResult(x=x, reason=reason, iterations=it, rnorm=jnp.linalg.norm(w), nmv=nmv)
+
+
+def pcpg(
+    qp: QP,
+    tol: Tolerances = Tolerances(),
+    precond: Optional[Callable] = None,
+    monitor: bool = False,
+) -> CGResult:
+    """PCPG — projected preconditioned CG for an equality-constrained QP
+    (the QPSPCPG solver type, reference: src/qps/impls/pcpg/pcpg.c).
+
+    A nonzero cE is homogenized away first exactly as QPSSolve_PCPG does
+    (pcpg.c:32-41 calls QPTHomogenizeEq); the projector onto ker BE comes
+    from the QP's projector factory.  The preconditioner is applied inside
+    the projection sandwich y = P M P r (pcpg.c:51-134)."""
+    assert qp.BE is not None, "PCPG requires linear equality constraints"
+    from ..qp.transforms import Solution, ensure_pf, homogenize_eq
+
+    qp = ensure_pf(qp)
+    post = None
+    if qp.cE is not None:
+        qp, post = homogenize_eq(qp)
+        qp = ensure_pf(qp)
+    res = cg(qp, tol=tol, precond=precond, project=qp.pf.apply_p, monitor=monitor)
+    if post is not None:
+        res = res.replace(x=post(Solution(x=res.x)).x)
+    return res

@@ -35,11 +35,19 @@ def default_solver_type(qp: QP) -> str:
 def solve(qp: QP, qps_type: Optional[str] = None, tol: Tolerances = Tolerances(), **kwargs):
     """Solve the QP with the selected (or default) solver; returns the solver result."""
     qps_type = qps_type or default_solver_type(qp)
-    if qps_type == "mprgp":
-        opts = kwargs.pop("opts", MPRGPOptions(**kwargs))
+    if qps_type in ("mprgp", "mpgp"):
+        opts = kwargs.pop("opts", None) or MPRGPOptions(**kwargs)
         return mprgp(qp, opts=opts, tol=tol)
-    if qps_type == "cg":
+    if qps_type in ("cg", "ksp"):
         return cg(qp, tol=tol, **kwargs)
+    if qps_type == "pcpg":
+        from .cg import pcpg
+
+        return pcpg(qp, tol=tol, **kwargs)
+    if qps_type == "tao":
+        from .tao import tao_solve
+
+        return tao_solve(qp, tol=tol, **kwargs)
     if qps_type == "smalxe":
         from ..qp.transforms import Solution, homogenize_eq
         from .smalxe import SMALXEOptions, smalxe

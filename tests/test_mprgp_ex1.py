@@ -109,3 +109,19 @@ class TestEx1Variants:
         # reference: 200 its, 215 mults (ex1_bb.out)
         assert int(res.iterations) == 200
         assert int(res.nmv) == 215
+
+
+class TestEx2Parity:
+    """Obstacle on a sub-IS (reference: src/tutorials/ex2.c; oracle
+    ex2_1_infinite-{false,true}.out: 197 its, 209 mults, 179/11/7 steps)."""
+
+    def test_counts_and_kkt(self):
+        from examples.ex2 import main
+
+        qp, res = main(100, view=False)
+        assert int(res.reason) == 2  # CONVERGED_RTOL
+        assert int(res.iterations) == 197
+        assert int(res.nmv) == 209
+        assert int(res.ncg) == 179
+        assert int(res.nexp) == 11
+        assert int(res.nprop) == 7
