@@ -1,0 +1,180 @@
+"""Matrix utility algorithms — the permonmatutils.c / permonmatcomplete.c /
+permonmatmatmult.c analog (reference: src/mat/interface/).
+
+Random-trial probes (is_identity / is_zero / mult_equal), orthonormality
+detection, nullspace checking, explicit inverse assembly, row normalization,
+zero filtering, row redistribution, by-columns products, and
+upper-triangular completion.  All setup-time; probes use a fixed PRNG key
+for determinism (the reference uses PetscRandom similarly).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .linop import LinearOperator, aslinearoperator
+
+_PROBE_TRIALS = 3
+
+
+def _probe_vecs(n: int, trials: int, seed: int = 7):
+    key = jax.random.PRNGKey(seed)
+    return jax.random.normal(key, (trials, n), dtype=jnp.result_type(float))
+
+
+def mult_equal_tol(A, B, tol: float = 1e-10, trials: int = _PROBE_TRIALS) -> bool:
+    """Random-trial test A x == B x (MatMultEqualTol, permonmatutils.c)."""
+    A, B = aslinearoperator(A), aslinearoperator(B)
+    xs = _probe_vecs(A.shape[1], trials)
+    for x in xs:
+        ya, yb = A.mv(x), B.mv(x)
+        scale = jnp.maximum(jnp.linalg.norm(ya), 1.0)
+        if float(jnp.linalg.norm(ya - yb)) > tol * float(scale):
+            return False
+    return True
+
+
+def is_identity(A, tol: float = 1e-10) -> bool:
+    """Random-trial identity probe (MatIsIdentity)."""
+    A = aslinearoperator(A)
+    xs = _probe_vecs(A.shape[1], _PROBE_TRIALS)
+    return all(
+        float(jnp.linalg.norm(A.mv(x) - x)) <= tol * float(jnp.linalg.norm(x))
+        for x in xs
+    )
+
+
+def is_zero(A, tol: float = 1e-12) -> bool:
+    """Random-trial zero probe (MatIsZero)."""
+    A = aslinearoperator(A)
+    xs = _probe_vecs(A.shape[1], _PROBE_TRIALS)
+    return all(float(jnp.linalg.norm(A.mv(x))) <= tol for x in xs)
+
+
+def has_orthonormal_rows(A, tol: float = 1e-10) -> bool:
+    """Random-trial test A A' x == x (MatHasOrthonormalRows,
+    permonmatorth.c:525-590)."""
+    A = aslinearoperator(A)
+    xs = _probe_vecs(A.shape[0], _PROBE_TRIALS)
+    return all(
+        float(jnp.linalg.norm(A.mv(A.rmv(x)) - x)) <= tol * float(jnp.linalg.norm(x))
+        for x in xs
+    )
+
+
+def has_orthonormal_columns(A, tol: float = 1e-10) -> bool:
+    A = aslinearoperator(A)
+    xs = _probe_vecs(A.shape[1], _PROBE_TRIALS)
+    return all(
+        float(jnp.linalg.norm(A.rmv(A.mv(x)) - x)) <= tol * float(jnp.linalg.norm(x))
+        for x in xs
+    )
+
+
+def check_null_space(K, R, tol: float = 1e-8) -> float:
+    """Assert ||K R|| small relative to ||K||; returns the max column
+    residual (MatCheckNullSpace, permonmatutils.c / matinv.c:206-208)."""
+    K, R = aslinearoperator(K), aslinearoperator(R)
+    Rd = R.todense()
+    worst = 0.0
+    for j in range(Rd.shape[1]):
+        r = Rd[:, j]
+        worst = max(worst, float(jnp.linalg.norm(K.mv(r)) / jnp.maximum(jnp.linalg.norm(r), 1e-300)))
+    if worst > tol:
+        raise AssertionError(f"||K R|| = {worst:.3e} > tol {tol:.1e}: R is not a nullspace of K")
+    return worst
+
+
+def inv_explicitly(Kplus, n: Optional[int] = None) -> jax.Array:
+    """Assemble the dense (pseudo)inverse column-by-column by repeated
+    applications (MatInvExplicitly, matinv.c:594-629) — one vmapped batch
+    solve on TPU instead of the reference's column loop."""
+    Kplus = aslinearoperator(Kplus)
+    n = n or Kplus.shape[1]
+    eye = jnp.eye(n, dtype=jnp.result_type(float))
+    return jax.vmap(Kplus.mv, in_axes=1, out_axes=1)(eye)
+
+
+def mat_mult_by_columns(A, B, filter_zeros_tol: float = 0.0) -> jax.Array:
+    """Explicit product A @ B built column-wise when no fused kernel exists
+    (MatMatMultByColumns, permonmatutils.c); optional zero filtering."""
+    A, B = aslinearoperator(A), aslinearoperator(B)
+    Bd = B.todense()
+    out = jax.vmap(A.mv, in_axes=1, out_axes=1)(Bd)
+    if filter_zeros_tol > 0:
+        out = jnp.where(jnp.abs(out) < filter_zeros_tol, 0.0, out)
+    return out
+
+
+def transpose_mat_mult_by_columns(A, B) -> jax.Array:
+    """A' @ B column-wise (MatTransposeMatMultByColumns)."""
+    A, B = aslinearoperator(A), aslinearoperator(B)
+    Bd = B.todense()
+    return jax.vmap(A.rmv, in_axes=1, out_axes=1)(Bd)
+
+
+def get_row_normalization(A) -> jax.Array:
+    """d with d_i = 1/||row_i||_2 (MatGetRowNormalization)."""
+    Ad = aslinearoperator(A).todense()
+    return 1.0 / jnp.linalg.norm(Ad, axis=1)
+
+
+def filter_zeros(a, tol: float = 0.0):
+    """Drop stored entries with |a_ij| <= tol from a scipy sparse matrix
+    (MatFilterZeros, permonmatutils.c)."""
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(a, copy=True)
+    a.data[np.abs(a.data) <= tol] = 0.0
+    a.eliminate_zeros()
+    return a
+
+
+def complete_from_upper_triangular(U) -> jax.Array:
+    """Symmetrize from upper-triangular data: A = U + U' - diag(U)
+    (MatCompleteFromUpperTriangular, permonmatcomplete.c)."""
+    U = jnp.asarray(U) if not isinstance(U, LinearOperator) else U.todense()
+    return U + U.T - jnp.diag(jnp.diag(U))
+
+
+def redistribute_rows(counts, nparts: int):
+    """Balanced contiguous row ranges for nparts parts given per-row work
+    ``counts`` (MatRedistributeRows, permonmatutils.c) — host-side greedy
+    prefix splitting minimizing the max part load; returns the list of
+    (start, end) ranges."""
+    counts = np.asarray(counts, dtype=np.float64)
+    total = counts.sum()
+    target = total / nparts
+    prefix = np.concatenate([[0.0], np.cumsum(counts)])
+    bounds = [0]
+    for p in range(1, nparts):
+        want = p * target
+        i = int(np.searchsorted(prefix, want))
+        # pick the neighboring cut closest to the target prefix sum
+        if i > 0 and abs(prefix[i - 1] - want) <= abs(prefix[min(i, len(prefix) - 1)] - want):
+            i -= 1
+        i = min(max(i, bounds[-1] + 1), len(counts) - (nparts - p) + 1)
+        bounds.append(i)
+    bounds.append(len(counts))
+    return [(bounds[i], bounds[i + 1]) for i in range(nparts)]
+
+
+def create_diag(d) -> "LinearOperator":
+    """Diagonal operator from a vector (MatCreateDiag)."""
+    from .linop import Diagonal
+
+    return Diagonal.create(d)
+
+
+def cheapest_transpose(A) -> "LinearOperator":
+    """PermonMatTranspose(..., MAT_TRANSPOSE_CHEAPEST): unwrap an existing
+    Transpose wrapper, otherwise wrap (permonmatmatmult.c)."""
+    from .linop import Transpose
+
+    if isinstance(A, Transpose):
+        return A.inner
+    return Transpose(inner=A)

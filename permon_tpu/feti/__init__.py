@@ -5,4 +5,4 @@ from .assembly import (
     constant_nullspace_columns,
     rigid_body_modes,
 )
-from .solve import FetiOptions, FetiResult, assemble_qp, feti_solve
+from .solve import FetiOptions, FetiResult, FetiSolver, assemble_qp, feti_solve

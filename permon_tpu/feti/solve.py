@@ -168,6 +168,40 @@ def make_blockdiag_kplus(
     return BlockDiagCholInv.from_blocks(jnp.asarray(Kreg))
 
 
+class FetiSolver:
+    """Reusable TFETI solver — the QPTFetiPrepareReuseCP analog
+    (qptransform.c:1213-1251): the assembled constraint operators, the
+    batched K+ factorization, and the coarse-problem factorization are
+    built once and reused across repeated solves with changing right-hand
+    sides (time stepping, contact outer iterations).
+
+    >>> solver = FetiSolver(prob, opts)
+    >>> r1 = solver.solve()                      # factorizes once
+    >>> r2 = solver.solve(b_loc=new_loads)       # reuses K+, projector
+    """
+
+    def __init__(self, prob: FetiProblem, opts: FetiOptions = FetiOptions()):
+        self.prob = prob
+        self.opts = opts
+        self.qp, self._K_blocks, self._fixed_mask, self._null_bases = assemble_qp(prob, opts)
+        self.kplus = make_blockdiag_kplus(self._K_blocks, self._fixed_mask, prob, self._null_bases)
+
+    def solve(self, b_loc=None, tol: Tolerances = Tolerances()) -> "FetiResult":
+        prob = self.prob
+        if b_loc is not None:
+            prob = dataclasses.replace(prob, b_loc=np.asarray(b_loc))
+        qp = self.qp
+        if b_loc is not None:
+            qp = qp.replace(b=jnp.asarray(np.asarray(b_loc).reshape(-1)))
+        return _feti_solve_impl(prob, self.opts, tol, qp, self.kplus)
+
+    def save(self, path: str) -> None:
+        """Checkpoint the factorized state (utils.checkpoint)."""
+        from ..utils.checkpoint import save
+
+        save(path, {"kplus": self.kplus, "qp": self.qp})
+
+
 def feti_solve(
     prob: FetiProblem,
     opts: FetiOptions = FetiOptions(),
@@ -175,6 +209,16 @@ def feti_solve(
 ) -> FetiResult:
     qp, K_blocks, fixed_mask, null_bases = assemble_qp(prob, opts)
     kplus = make_blockdiag_kplus(K_blocks, fixed_mask, prob, null_bases)
+    return _feti_solve_impl(prob, opts, tol, qp, kplus)
+
+
+def _feti_solve_impl(
+    prob: FetiProblem,
+    opts: FetiOptions,
+    tol: Tolerances,
+    qp: QP,
+    kplus,
+) -> FetiResult:
 
     steps = []
     dual, post_d = dualize(qp, kplus=kplus)

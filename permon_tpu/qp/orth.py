@@ -52,6 +52,42 @@ def orth_rows_gs(B: jax.Array, rtol: float = 1e-10, max_reorth: int = 4) -> Tupl
     return Q, T
 
 
+def orth_rows_gs_lingen(B: jax.Array, alpha: float = 0.5, max_reorth: int = 8) -> Tuple[jax.Array, jax.Array]:
+    """Lingen's iterated-GS variant (permonmatorth.c:252-290): re-orthogonalize
+    a row while its norm dropped by more than the factor ``alpha`` in the last
+    sweep (the selective-reorthogonalization criterion), instead of a fixed
+    sweep count."""
+    B = jnp.asarray(B)
+    m, n = B.shape
+    dtype = B.dtype
+    Q = jnp.zeros((m, n), dtype)
+    T = jnp.zeros((m, m), dtype)
+
+    def row_step(i, carry):
+        Q, T = carry
+        b = B[i]
+        t = jnp.zeros(m, dtype).at[i].set(1.0)
+
+        def cond(state):
+            b, t, prev, it = state
+            return jnp.logical_and(it < max_reorth, jnp.linalg.norm(b) < alpha * prev)
+
+        def sweep(state):
+            b, t, _, it = state
+            prev = jnp.linalg.norm(b)
+            coeffs = Q @ b
+            return b - Q.T @ coeffs, t - T.T @ coeffs, prev, it + 1
+
+        # always one sweep, then re-orthogonalize on norm collapse
+        b, t, prev, _ = sweep((b, t, jnp.linalg.norm(b), 0))
+        b, t, _, _ = jax.lax.while_loop(cond, sweep, (b, t, prev, jnp.int32(1)))
+        nrm = jnp.linalg.norm(b)
+        return Q.at[i].set(b / nrm), T.at[i].set(t / nrm)
+
+    Q, T = jax.lax.fori_loop(0, m, row_step, (Q, T))
+    return Q, T
+
+
 def orth_rows_cholesky(B: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """BB' = LL'; Q = L^{-1} B has orthonormal rows; T = L^{-1}."""
     L = jnp.linalg.cholesky(B @ B.T)
@@ -62,6 +98,8 @@ def orth_rows_cholesky(B: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def orth_rows(B: jax.Array, method: str = "gs"):
     if method == "gs":
         return orth_rows_gs(B)
+    if method == "gs_lingen":
+        return orth_rows_gs_lingen(B)
     if method == "cholesky":
         return orth_rows_cholesky(B)
     if method in ("implicit", "inexact"):

@@ -47,19 +47,41 @@ class Projector:
     G: Any  # LinearOperator (m, n)
     ggt_chol: Optional[jax.Array]  # None when rows are orthonormal
     orthonormal_rows: bool = struct.field(pytree_node=False, default=False)
+    #: dense-assembled (GG')^{-1} (the -qppf_explicit path, qppf.c:282-333);
+    #: trades a triangular solve for one matmul per CP — better MXU shape
+    #: when the coarse dimension is large
+    ggt_inv: Optional[jax.Array] = None
 
     @classmethod
-    def create(cls, G: LinearOperator, orthonormal_rows: bool = False) -> "Projector":
+    def create(
+        cls,
+        G: LinearOperator,
+        orthonormal_rows: Optional[bool] = None,
+        explicit_inv: bool = False,
+    ) -> "Projector":
+        if orthonormal_rows is None:
+            # random-trial detection short-circuits the CP entirely
+            # (MatHasOrthonormalRows use in qppf.c:392-396)
+            from ..core.matutils import has_orthonormal_rows
+
+            orthonormal_rows = has_orthonormal_rows(G)
         if orthonormal_rows:
             return cls(G=G, ggt_chol=None, orthonormal_rows=True)
         Gd = dense_rows(G)
         ggt = Gd @ Gd.T
-        return cls(G=G, ggt_chol=jnp.linalg.cholesky(ggt), orthonormal_rows=False)
+        chol = jnp.linalg.cholesky(ggt)
+        inv = None
+        if explicit_inv:
+            eye = jnp.eye(ggt.shape[0], dtype=ggt.dtype)
+            inv = jax.scipy.linalg.cho_solve((chol, True), eye)
+        return cls(G=G, ggt_chol=chol, orthonormal_rows=False, ggt_inv=inv)
 
     def apply_cp(self, v):
         """Coarse-problem solve (GG')^{-1} v (QPPFApplyCP, qppf.c:610-645)."""
         if self.orthonormal_rows:
             return v
+        if self.ggt_inv is not None:
+            return self.ggt_inv @ v
         return jax.scipy.linalg.cho_solve((self.ggt_chol, True), v)
 
     def apply_half_q(self, x):
@@ -93,3 +115,91 @@ class ProjOp(LinearOperator):
         return self.pf.apply_p(x)
 
     rmv = mv  # orthogonal projector is symmetric
+
+
+@struct.dataclass
+class QOp(LinearOperator):
+    """Q = G'(GG')^{-1}G (QPPFCreateQ, qppf.c:650-718)."""
+
+    pf: Projector
+
+    @property
+    def shape(self):
+        n = self.pf.G.shape[1]
+        return (n, n)
+
+    def mv(self, x):
+        return self.pf.apply_q(x)
+
+    rmv = mv
+
+
+@struct.dataclass
+class HalfQOp(LinearOperator):
+    """(GG')^{-1}G: mv = halfQ, rmv = halfQ' (QPPFCreateHalfQ)."""
+
+    pf: Projector
+
+    @property
+    def shape(self):
+        return self.pf.G.shape
+
+    def mv(self, x):
+        return self.pf.apply_half_q(x)
+
+    def rmv(self, v):
+        return self.pf.apply_half_q_t(v)
+
+
+@struct.dataclass
+class GtGOp(LinearOperator):
+    """G'G (QPPFCreateGtG)."""
+
+    pf: Projector
+
+    @property
+    def shape(self):
+        n = self.pf.G.shape[1]
+        return (n, n)
+
+    def mv(self, x):
+        return self.pf.apply_gtg(x)
+
+    rmv = mv
+
+
+class CachedProjector:
+    """Eager-mode wrapper adding the QPPF last-result cache (qppf.c:454-503:
+    ApplyQ keeps the last (v, Qv) pair and returns it when the same vector is
+    applied again, which happens between consecutive transform stages).
+
+    Inside jit this is unnecessary — XLA CSE already dedups identical
+    subexpressions within one trace — so the cache lives outside the
+    compiled region, exactly like the reference's object-level cache sits
+    outside the Mat kernels."""
+
+    def __init__(self, pf: Projector):
+        self.pf = pf
+        self._last: Optional[Tuple[Any, Any]] = None
+        self.cp_applications = 0  # QPPFGetNumberOfCPApplications analog
+        self.hits = 0
+
+    def apply_q(self, x):
+        if self._last is not None and self._last[0] is x:
+            self.hits += 1
+            return self._last[1]
+        out = self.pf.apply_q(x)
+        self.cp_applications += 1
+        self._last = (x, out)
+        return out
+
+    def apply_p(self, x):
+        return x - self.apply_q(x)
+
+    def apply_half_q(self, x):
+        self.cp_applications += 1
+        return self.pf.apply_half_q(x)
+
+    def apply_half_q_t(self, v):
+        self.cp_applications += 1
+        return self.pf.apply_half_q_t(v)
