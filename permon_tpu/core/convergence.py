@@ -70,3 +70,34 @@ def converged_default(it, rnorm, *, ttol, atol, divtol, norm_rhs_div, max_it):
         ),
     )
     return reason.astype(jnp.int32)
+
+
+def make_history_test(b, tol: Tolerances, size: int):
+    """Build a (conv_test, aux0) pair recording the residual-norm history in a
+    fixed-size device buffer — the QPS residual-history arrays
+    (qpsimpl.h:62-70) done jit-compatibly.  Pass to solvers accepting the
+    ``conv_test``/``conv_aux`` hook (mprgp); read back with
+    :func:`history_from_aux`."""
+    norm_rhs = jnp.linalg.norm(b)
+    ttol = jnp.maximum(tol.rtol * norm_rhs, tol.atol)
+
+    def conv_test(aux, it, rnorm, x, g):
+        hist = aux
+        hist = hist.at[jnp.minimum(it, size - 1)].set(rnorm)
+        reason = converged_default(
+            it, rnorm, ttol=ttol, atol=tol.atol, divtol=tol.divtol,
+            norm_rhs_div=norm_rhs, max_it=tol.max_it,
+        )
+        return reason, hist
+
+    aux0 = jnp.full((size,), jnp.nan, dtype=jnp.result_type(float))
+    return conv_test, aux0
+
+
+def history_from_aux(aux, iterations):
+    """Trim the recorded history to the iterations actually performed."""
+    import numpy as np
+
+    h = np.asarray(aux)
+    n = int(iterations) + 1
+    return h[: min(n, len(h))]

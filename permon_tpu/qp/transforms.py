@@ -442,3 +442,55 @@ def all_in_one(
         assert qp.BE is not None
         apply(enforce_eq_by_penalty, penalty)
     return qp, compose(steps)
+
+
+def split_be(qp: QP) -> Tuple[QP, PostSolve]:
+    """Split BE rows into gluing (>=2 nonzeros) and Dirichlet (1 nonzero)
+    blocks, child BE = [Bg; Bd] (QPTSplitBE, qptransform.c:1829-1902).
+    Row reordering only — the post-solve permutes lambda_E back."""
+    assert qp.BE is not None
+    Bd_full = dense_rows(qp.BE)
+    nnz = jnp.sum(jnp.abs(Bd_full) > 0, axis=1)
+    import numpy as np
+
+    nnz_h = np.asarray(nnz)
+    glue_idx = np.flatnonzero(nnz_h >= 2)
+    dir_idx = np.flatnonzero(nnz_h == 1)
+    perm = np.concatenate([glue_idx, dir_idx])
+    Bnew = Dense.create(Bd_full[perm])
+    cE = qp.cE[jnp.asarray(perm)] if qp.cE is not None else None
+    child = qp.replace(BE=Bnew, cE=cE, pf=None)
+    inv_perm = np.argsort(perm)
+
+    def post(sol: Solution) -> Solution:
+        if sol.lambda_E is None:
+            return sol
+        return sol.replace(lambda_E=sol.lambda_E[jnp.asarray(inv_perm)])
+
+    return child, post
+
+
+def remove_gluing_of_dirichlet_dofs(qp: QP, dirichlet_dofs) -> Tuple[QP, PostSolve]:
+    """Drop BE rows that act on Dirichlet-fixed dofs
+    (QPTRemoveGluingOfDirichletDofs, qptransform.c:1327-1388 +
+    MatRemoveGluingOfDirichletDofs, permonmatfetiutils.c:1-167).  The
+    post-solve zero-pads lambda_E back to the parent's row count."""
+    assert qp.BE is not None
+    import numpy as np
+
+    Bd_full = np.asarray(dense_rows(qp.BE))
+    mask = np.zeros(Bd_full.shape[1], dtype=bool)
+    mask[np.asarray(dirichlet_dofs, dtype=np.int64)] = True
+    keep = np.flatnonzero(~(np.abs(Bd_full[:, mask]) > 0).any(axis=1))
+    Bnew = Dense.create(jnp.asarray(Bd_full[keep]))
+    cE = qp.cE[jnp.asarray(keep)] if qp.cE is not None else None
+    child = qp.replace(BE=Bnew, cE=cE, pf=None)
+    m_parent = Bd_full.shape[0]
+
+    def post(sol: Solution) -> Solution:
+        if sol.lambda_E is None:
+            return sol
+        lam = jnp.zeros(m_parent, sol.lambda_E.dtype).at[jnp.asarray(keep)].set(sol.lambda_E)
+        return sol.replace(lambda_E=lam)
+
+    return child, post

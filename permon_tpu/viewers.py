@@ -46,6 +46,20 @@ def view_convergence(result, solver: str = "mpgp", tol=None) -> str:
     return "\n".join(lines)
 
 
+def view_convergence_smalxe(result) -> str:
+    """QPSViewConvergence_SMALXE (smalxe.c:1000-1019): outer/inner iteration
+    accounting plus the M1/eta hit counters of the adaptive update rule."""
+    lines = [view_convergence(result)]
+    lines += [
+        f"SMALXE: inner iterations {int(result.inner_iterations)}, "
+        f"M1 hits {int(result.M1_hits)}, eta hits {int(result.eta_hits)}",
+        f"SMALXE: M1 updates {int(result.M1_updates)}, rho updates "
+        f"{int(result.rho_updates)}, final M1 {float(result.M1):.3e}, "
+        f"rho {float(result.rho):.3e}",
+    ]
+    return "\n".join(lines)
+
+
 def view_kkt(qp: QP, x, g=None, lambda_E=None, lambda_I=None) -> str:
     """KKT residual report for a solved QP.
 

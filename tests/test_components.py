@@ -218,3 +218,60 @@ class TestOneRow:
         np.testing.assert_allclose(np.asarray(op.mv(jnp.ones(3))), [6.0])
         np.testing.assert_allclose(np.asarray(op.rmv(jnp.array([2.0]))), [2, 4, 6])
         np.testing.assert_allclose(np.asarray(op.todense()), [[1, 2, 3]])
+
+
+class TestResidualHistory:
+    def test_mprgp_history_hook(self):
+        from permon_tpu.core.convergence import history_from_aux, make_history_test
+
+        qp = small_box_qp()
+        conv_test, aux0 = make_history_test(qp.b, Tolerances(), 256)
+        res = pt.mprgp(qp, conv_test=conv_test, conv_aux=aux0)
+        hist = history_from_aux(res.aux, res.iterations)
+        assert len(hist) == int(res.iterations) + 1
+        assert not np.isnan(hist).any()
+        assert hist[-1] <= 1e-5 * np.linalg.norm(np.asarray(qp.b))
+
+
+class TestSmalxeView:
+    def test_view_convergence_smalxe(self):
+        rng = np.random.default_rng(8)
+        n = 20
+        M = rng.standard_normal((n, n))
+        A = M @ M.T + n * np.eye(n)
+        b = rng.standard_normal(n)
+        BE = rng.standard_normal((2, n))
+        qp = pt.QP.create(A, b)
+        qp = qp.replace(BE=pt.Dense.create(jnp.asarray(BE)), cE=jnp.zeros(2))
+        res = pt.solve(qp, qps_type="smalxe")
+        from permon_tpu.viewers import view_convergence_smalxe
+
+        txt = view_convergence_smalxe(res)
+        assert "M1 hits" in txt and "rho updates" in txt
+
+
+class TestSplitAndRemoveGluing:
+    def test_split_be(self):
+        from permon_tpu.qp.transforms import split_be
+
+        B = np.array([[1.0, -1, 0, 0], [0, 0, 1, 0], [0, 1, 0, -1], [1, 0, 0, 0]])
+        qp = pt.QP.create(np.eye(4) * 4, np.ones(4))
+        qp = qp.replace(BE=pt.Dense.create(jnp.asarray(B)), cE=jnp.arange(4.0))
+        child, post = split_be(qp)
+        Bc = np.asarray(child.BE.todense())
+        nnz = (np.abs(Bc) > 0).sum(axis=1)
+        assert list(nnz) == [2, 2, 1, 1]  # gluing rows first, Dirichlet last
+        np.testing.assert_allclose(np.asarray(child.cE), [0, 2, 1, 3])
+        sol = post(Solution(x=jnp.zeros(4), lambda_E=jnp.array([10.0, 20, 30, 40])))
+        np.testing.assert_allclose(np.asarray(sol.lambda_E), [10, 30, 20, 40])
+
+    def test_remove_gluing_of_dirichlet(self):
+        from permon_tpu.qp.transforms import remove_gluing_of_dirichlet_dofs
+
+        B = np.array([[1.0, -1, 0, 0], [0, 0, 1, -1], [0, 1, -1, 0]])
+        qp = pt.QP.create(np.eye(4) * 4, np.ones(4))
+        qp = qp.replace(BE=pt.Dense.create(jnp.asarray(B)), cE=jnp.zeros(3))
+        child, post = remove_gluing_of_dirichlet_dofs(qp, [0])
+        assert child.BE.shape[0] == 2  # row 0 touches dirichlet dof 0
+        sol = post(Solution(x=jnp.zeros(4), lambda_E=jnp.array([7.0, 8.0])))
+        np.testing.assert_allclose(np.asarray(sol.lambda_E), [0, 7, 8])
