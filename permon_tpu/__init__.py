@@ -49,6 +49,7 @@ from .qp.qp import QP
 from .solvers.driver import solve
 from .solvers.mprgp import MPRGPOptions, mprgp
 from .sys.options import Options, solve_from_options
+from . import viewers
 
 __all__ = [
     "LinearOperator",

@@ -78,3 +78,63 @@ def shard_qp(qp: QP, kplus: BlockDiagCholInv, mesh: Mesh, axis: str = "sd"):
     qp_sh = qp.replace(A=A, BE=BE, b=b, cE=cE, R=R)
     kplus_sh = kplus.replace(chols=_put(kplus.chols, mesh, P(axis, None, None)))
     return qp_sh, kplus_sh
+
+
+def feti_dual_apply_shard_map(B: SubdomainExtension, kplus: BlockDiagCholInv,
+                              mesh: Mesh, axis: str = "sd"):
+    """Explicit shard_map version of the dual operator F = B K+ B'.
+
+    The automatic path lets GSPMD infer the collective from shardings; this
+    variant writes the communication contract down explicitly, exactly as
+    SURVEY 2.10 maps the reference's VecScatter pair:
+
+    - per-device: gather lambda (replicated) into the local subdomain
+      blocks (B' block-row apply, zero communication),
+    - per-device: batched Cholesky solves on the local K blocks,
+    - per-device: local scatter-add into a dual-sized partial vector,
+    - one ``lax.psum`` over the subdomain axis — the single ICI collective
+      per F application.
+
+    Returns ``apply(lam) -> F @ lam`` (a jittable closure).  Useful both as
+    documentation of the comm pattern and as the fallback when GSPMD's
+    choice of collective placement is suboptimal.
+    """
+    import functools
+
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    m = B.m_dual
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None),  # rows
+            P(axis, None),  # cols
+            P(axis, None),  # vals
+            P(axis, None, None),  # chols
+            P(),  # lam (replicated)
+        ),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def apply_sharded(rows, cols, vals, chols, lam):
+        # B' lam restricted to this device's subdomains
+        lam_pad = jnp.concatenate([lam, jnp.zeros(1, lam.dtype)])
+        gathered = vals * lam_pad[rows]
+        nb, bs, _ = chols.shape
+        u = jnp.zeros((nb, bs), dtype=gathered.dtype)
+        u = jax.vmap(lambda o, c, g: o.at[c].add(g))(u, cols, gathered)
+        # local K+ solves (batched triangular solves, MXU-friendly)
+        y = jax.vmap(lambda c, v: jax.scipy.linalg.cho_solve((c, True), v))(chols, u)
+        # local scatter-add into the dual space + the one psum
+        contrib = vals * jnp.take_along_axis(y, cols, axis=1)
+        out = jnp.zeros(m + 1, dtype=contrib.dtype)
+        out = out.at[rows.reshape(-1)].add(contrib.reshape(-1))
+        return jax.lax.psum(out[:m], axis)
+
+    def apply(lam):
+        return apply_sharded(B.rows, B.cols, B.vals, kplus.chols, lam)
+
+    return apply

@@ -76,3 +76,32 @@ class TestShardedTfeti:
         u = jax.numpy.ones(prob.n_decomposed)
         bu = qp_sh.BE.mv(u)
         np.testing.assert_allclose(np.asarray(bu), np.asarray(qp.BE.mv(u)), atol=1e-14)
+
+
+class TestShardMapDualApply:
+    def test_matches_automatic_path(self):
+        """Explicit shard_map F apply == GSPMD-sharded composed-operator apply."""
+        import jax
+        import jax.numpy as jnp
+
+        from examples.feti_ex1 import build
+        from permon_tpu.core.linop import Product, Transpose
+        from permon_tpu.feti import FetiOptions
+        from permon_tpu.feti.solve import assemble_qp, make_blockdiag_kplus
+        from permon_tpu.parallel import make_mesh, shard_qp
+        from permon_tpu.parallel.dist import feti_dual_apply_shard_map
+
+        ndev = len(jax.devices())
+        prob = build(ns=ndev, ne=4)
+        qp, Kb, fixed, nb = assemble_qp(prob, FetiOptions())
+        kplus = make_blockdiag_kplus(Kb, fixed, prob)
+        mesh = make_mesh(ndev)
+        qp_sh, kplus_sh = shard_qp(qp, kplus, mesh)
+
+        F_auto = Product((qp_sh.BE, kplus_sh, Transpose(qp_sh.BE)))
+        apply_sm = feti_dual_apply_shard_map(qp_sh.BE, kplus_sh, mesh)
+
+        lam = jnp.asarray(np.random.default_rng(0).standard_normal(qp.BE.shape[0]))
+        y_auto = np.asarray(jax.jit(F_auto.mv)(lam))
+        y_sm = np.asarray(jax.jit(apply_sm)(lam))
+        np.testing.assert_allclose(y_sm, y_auto, atol=1e-10)
