@@ -233,14 +233,13 @@ def _feti_solve_impl(
         cur, post_h = homogenize_eq(cur)
         steps.append((cur, post_h))
 
-    # dual preconditioner (PCDUAL): lumped = B K B'
+    # dual preconditioner (PCDUAL, permon_tpu.pc.dual): lumped = B K B'
     precond = None
     if opts.pc_dual == "lumped":
-        A_blocks = BlockDiagDense(blocks=jnp.asarray(prob.K_blocks))
-        B = qp.BE
+        from ..pc.dual import PCDual
 
-        def precond(w):
-            return B.mv(A_blocks.mv(B.rmv(w)))
+        A_blocks = BlockDiagDense(blocks=jnp.asarray(prob.K_blocks))
+        precond = PCDual.create(qp.BE, A_blocks, "lumped").mv
 
     if cur.BE is None:
         # no floating subdomains -> no coarse space: plain (preconditioned) CG

@@ -275,3 +275,37 @@ class TestSplitAndRemoveGluing:
         assert child.BE.shape[0] == 2  # row 0 touches dirichlet dof 0
         sol = post(Solution(x=jnp.zeros(4), lambda_E=jnp.array([7.0, 8.0])))
         np.testing.assert_allclose(np.asarray(sol.lambda_E), [0, 7, 8])
+
+
+class TestPCDual:
+    def test_none_and_lumped(self):
+        from permon_tpu.pc import PCDual
+
+        rng = np.random.default_rng(9)
+        B = pt.Dense.create(jnp.asarray(rng.standard_normal((3, 8))))
+        K = pt.Dense.create(jnp.asarray(rand_spd_small(8)))
+        x = jnp.asarray(rng.standard_normal(3))
+        none = PCDual.create(B, pc_type="none")
+        np.testing.assert_allclose(np.asarray(none.mv(x)), np.asarray(x))
+        lump = PCDual.create(B, K, "lumped")
+        Bd, Kd = np.asarray(B.todense()), np.asarray(K.todense())
+        np.testing.assert_allclose(
+            np.asarray(lump.mv(x)), Bd @ Kd @ Bd.T @ np.asarray(x), atol=1e-10
+        )
+        # pass-through fast path for the projected 'none' pc
+        P = lambda v: v * 2.0
+        assert none.projected(P) is P
+
+
+def rand_spd_small(n, seed=10):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, n))
+    return M @ M.T + n * np.eye(n)
+
+
+class TestSVM:
+    def test_svm_trains(self):
+        from examples.svm import main
+
+        acc = main(120, 1.0)
+        assert acc >= 0.9
