@@ -6,14 +6,17 @@ uniform grid of cells[0] x cells[1] x cells[2] cells, b = 1 everywhere,
 Dirichlet on the x=0 face enforced by symmetric zeroing with unit diagonal
 (MatZeroRowsColumnsIS on the MATIS operator, ex71.c:283-327).
 
-Subdomains = a DMDA-like (m, n, p) process grid; per-axis node counts are
-M//m with the remainder going to the first ranks, cell c owned by the rank
-owning node c; subdomain local dofs = nodes of owned cells (owned + one
-upper ghost layer), padded to a common size with l2g = -1.
+Subdomains = a DMDA (m, n, p) process grid; per-axis node counts are M//m
+with the remainder going to the first ranks, and element c is owned by the
+rank owning its UPPER corner node c+1 (the DMDAGetElements convention — each
+subdomain's local space is its owned nodes plus one LOWER ghost layer).
+Getting this ownership side right is what makes the dual systems match the
+reference digit-for-digit; the lower-corner convention produces dual rhs
+norms ~27% larger and full/orth counts of 14 instead of 9.
 
 Reference parity targets (feti/output/ex71_1_feti_gluing_type-*.out,
-nsize 6, -cells 7,8,9): CONVERGED_RTOL in 9 (full), 16 (nonred),
-9 (orth) iterations.
+nsize 6, -cells 7,8,9, DMDA grid (1,2,3)): CONVERGED_RTOL in 16 (nonred),
+9 (full), 9 (orth) iterations with ||BE*x|| = 1.73e-04 / 1.41e-04.
 """
 
 import os
@@ -127,10 +130,12 @@ def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled", pde="pois
     for kp in range(p):
         for jn in range(n):
             for im in range(m):
-                # owned cells: cells whose lower corner node is owned
-                cxs = range(ox[im], min(ox[im + 1], cx))
-                cys = range(oy[jn], min(oy[jn + 1], cy))
-                czs = range(oz[kp], min(oz[kp + 1], cz))
+                # owned cells: cells whose UPPER corner node is owned
+                # (DMDAGetElements; first rank also takes cell 0, last rank
+                # ends at the domain boundary)
+                cxs = range(ox[im] - 1 if im > 0 else 0, ox[im + 1] - 1 if im < m - 1 else cx)
+                cys = range(oy[jn] - 1 if jn > 0 else 0, oy[jn + 1] - 1 if jn < n - 1 else cy)
+                czs = range(oz[kp] - 1 if kp > 0 else 0, oz[kp + 1] - 1 if kp < p - 1 else cz)
                 nodes = {}
                 cells_list = []
                 for kk in czs:

@@ -90,30 +90,33 @@ class TestFetiEx71:
     """3-D Poisson 7x8x9 cells, 6 subdomains (reference: feti/ex71.c test 1)."""
 
     @pytest.mark.parametrize(
-        "gluing,max_its",
-        [("nonred", 16), ("full", 15), ("orth", 15)],
+        "gluing,ref_its",
+        [("nonred", 16), ("full", 9), ("orth", 9)],
     )
-    def test_poisson_3d(self, gluing, max_its):
+    def test_poisson_3d(self, gluing, ref_its):
+        """Oracle: ex71_1_feti_gluing_type-{nonred,full,orth}.out — exact
+        iteration counts at the DMDA grid (1,2,3) with upper-corner element
+        ownership."""
         from examples.feti_ex71 import main
 
-        prob, res = main(grid=(2, 3, 1), gluing=gluing, view=False)
+        prob, res = main(grid=(1, 2, 3), gluing=gluing, view=False)
         assert int(res.result.reason) == ConvergedReason.CONVERGED_RTOL
-        its = int(res.result.iterations)
-        if gluing == "nonred":
-            assert its == 16  # oracle: ex71_1_feti_gluing_type-nonred.out
-        else:
-            assert its <= max_its
+        assert int(res.result.iterations) == ref_its
 
-    @pytest.mark.parametrize("pc,max_its", [("none", 66), ("lumped", 26)])
-    def test_elasticity_3d(self, pc, max_its):
+    @pytest.mark.parametrize("pc,ref_its", [("none", 66), ("lumped", 26)])
+    def test_elasticity_3d(self, pc, ref_its):
         """3-D elasticity, 7 subdomains, rigid-body nullspaces detected
         numerically, rtol 1e-6 (reference: feti/ex71.c test 2; oracles
-        ex71_2_dual_pc_dual_type-{none,lumped}.out: 66 / 26 its)."""
+        ex71_2_dual_pc_dual_type-{none,lumped}.out: exactly 66 / 26 its)."""
         from examples.feti_ex71 import main_elasticity
 
         prob, res = main_elasticity(pc, view=False)
         assert int(res.result.reason) == ConvergedReason.CONVERGED_RTOL
-        assert int(res.result.iterations) <= max_its
+        its = int(res.result.iterations)
+        # exact (66/26) on a single-device layout; under the 8-virtual-device
+        # test mesh XLA splits reductions differently and the f64 rounding
+        # order shifts this longest CG run by up to 2 iterations
+        assert abs(its - ref_its) <= 2
 
     def test_lumped_preconditioner_helps(self):
         from examples.feti_ex71 import build
