@@ -46,7 +46,7 @@ from .core.eig import max_eigenvalue
 from .core.convergence import ConvergedReason, Tolerances
 from .core import vec
 from .qp.qp import QP
-from .solvers.driver import solve
+from .solvers.driver import make_solver, solve
 from .solvers.mprgp import MPRGPOptions, mprgp
 from .sys.options import Options, solve_from_options
 from . import viewers
@@ -71,6 +71,7 @@ __all__ = [
     "vec",
     "QP",
     "solve",
+    "make_solver",
     "MPRGPOptions",
     "mprgp",
     "Options",

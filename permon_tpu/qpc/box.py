@@ -25,10 +25,15 @@ _MACHEPS = float(np.finfo(np.float64).eps)
 DEFAULT_ASTOL = 10 * _MACHEPS
 
 
-def _full(bound, n, fill):
+def _full(bound, n, fill, dtype=None):
     if bound is None:
-        return jnp.full(n, fill, dtype=jnp.result_type(float))
-    return jnp.asarray(bound, dtype=jnp.result_type(float))
+        return jnp.full(n, fill, dtype=dtype or jnp.result_type(float))
+    b = jnp.asarray(bound)
+    if dtype is not None and b.dtype != dtype:
+        b = b.astype(dtype)
+    elif not jnp.issubdtype(b.dtype, jnp.floating):
+        b = b.astype(jnp.result_type(float))
+    return b
 
 
 @struct.dataclass
@@ -43,10 +48,22 @@ class BoxConstraint:
     has_ub: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
-    def create(cls, n: int, lb=None, ub=None, astol: float = DEFAULT_ASTOL) -> "BoxConstraint":
+    def create(
+        cls, n: int, lb=None, ub=None, astol: float = DEFAULT_ASTOL, dtype=None
+    ) -> "BoxConstraint":
+        """``dtype`` pins the bound dtype (f32 solves on TPU without native
+        f64); by default it is inferred from the given bounds so that an
+        absent bound's +-inf fill matches (no silent f64 promotion)."""
+        if dtype is None:
+            for bound in (lb, ub):
+                if bound is not None and hasattr(bound, "dtype") and jnp.issubdtype(
+                    jnp.asarray(bound).dtype, jnp.floating
+                ):
+                    dtype = jnp.asarray(bound).dtype
+                    break
         return cls(
-            lb=_full(lb, n, -jnp.inf),
-            ub=_full(ub, n, jnp.inf),
+            lb=_full(lb, n, -jnp.inf, dtype),
+            ub=_full(ub, n, jnp.inf, dtype),
             astol=astol,
             has_lb=lb is not None,
             has_ub=ub is not None,

@@ -156,10 +156,10 @@ def mprgp(
                 if opts.maxeig is not None
                 else max_eigenvalue(A, tol=opts.maxeig_tol, maxits=opts.maxeig_iter)
             )
-        maxeig_val = maxeig
-        alpha_init = alpha_user / maxeig_val
+        maxeig_val = jnp.asarray(maxeig, dtype)
+        alpha_init = jnp.asarray(alpha_user / maxeig_val, dtype)
     if alpha0 is not None:
-        alpha_init = alpha0  # warm-started alpha (SMALXE repeated inner solves)
+        alpha_init = jnp.asarray(alpha0, dtype)  # warm-started alpha (SMALXE)
 
     if conv_test is None:
         norm_rhs = jnp.linalg.norm(b)
