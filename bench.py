@@ -98,18 +98,20 @@ def main():
         solver = pt.make_solver(tol=pt.Tolerances(max_it=500))
         res = solver(qp)  # warm-up/compile
         res.x.block_until_ready()
-        best = float("inf")
-        for k in range(3):
-            # perturb the rhs so the execution-result cache between identical
-            # dispatches (tunnel memoization) cannot shortcut the solve
-            qp_k = qp.replace(b=qp.b * (1.0 + 1e-12 * (k + 1)))
-            t0 = time.perf_counter()
-            res = solver(qp_k)
-            res.x.block_until_ready()
-            best = min(best, time.perf_counter() - t0)
+        # time N solves CHAINED by data dependency (each rhs depends on the
+        # previous solution) — immune to any dispatch/result caching
+        nrep = 3
+        t0 = time.perf_counter()
+        cur = qp
+        for _ in range(nrep):
+            res = solver(cur)
+            cur = qp.replace(b=qp.b + 1e-14 * res.x)
+        res.x.block_until_ready()
+        cur.b.block_until_ready()
+        per_solve = (time.perf_counter() - t0) / nrep
         print(
             f"secondary: device={dev} mprgp_ex1_n10000 {dt_name} "
-            f"{best * 1e3:.1f} ms / 500 its (fully jitted)",
+            f"{per_solve * 1e3:.1f} ms / 500 its (fully jitted, chained)",
             file=sys.stderr,
         )
 
