@@ -65,6 +65,7 @@ class MPRGPOptions:
     fallback: bool = False
     fallback2: bool = False
     monitor: bool = False
+    monitor_cost: bool = False  # QPSMonitorCostFunction analog
 
     def __post_init__(self):
         assert self.expansion_type in EXPANSION_TYPES, self.expansion_type
@@ -240,17 +241,24 @@ def mprgp(
     # ------------------------------------------------------------------ body
 
     def monitor(st):
-        if not opts.monitor:
-            return
-        jax.debug.print(
-            "{it:>3} MPGP [{s}] ||gp||={r:.10e},\t||gf||={gf:.10e},\t||gc||={gc:.10e},\talpha={a:.10e}",
-            it=st.it,
-            s=st.step,
-            r=st.rnorm,
-            gf=jnp.linalg.norm(st.gf),
-            gc=jnp.linalg.norm(st.gc),
-            a=st.alpha,
-        )
+        if opts.monitor:
+            jax.debug.print(
+                "{it:>3} MPGP [{s}] ||gp||={r:.10e},\t||gf||={gf:.10e},\t||gc||={gc:.10e},\talpha={a:.10e}",
+                it=st.it,
+                s=st.step,
+                r=st.rnorm,
+                gf=jnp.linalg.norm(st.gf),
+                gc=jnp.linalg.norm(st.gc),
+                a=st.alpha,
+            )
+        if opts.monitor_cost:
+            # f(x) = 1/2 x'Ax - b'x = 1/2 x'(g - b) with g = Ax - b
+            # (QPSMonitorCostFunction, qps.c cost-function monitor)
+            jax.debug.print(
+                "{it:>3} MPGP f(x)={f:.10e}",
+                it=st.it,
+                f=0.5 * jnp.vdot(st.x, st.g - b),
+            )
 
     def take_cg(st, Ap, pAp, acg):
         x = st.x - acg * st.p

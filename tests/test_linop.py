@@ -61,3 +61,28 @@ class TestPowerMethod:
         a = a @ a.T
         lam = pt.max_eigenvalue(pt.Dense.create(a), tol=1e-10, maxits=5000)
         np.testing.assert_allclose(float(lam), np.linalg.eigvalsh(a)[-1], rtol=1e-6)
+
+
+class TestGluingOp:
+    """MATGLUING analog (segment-sum star forest) vs the extension operator
+    and the dense gluing matrix."""
+
+    def test_matches_extension_and_dense(self):
+        import numpy as np
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+
+        from examples.feti_ex1 import build
+        from permon_tpu.core.gluing import Gluing
+        from permon_tpu.feti.assembly import build_gluing
+
+        prob = build(4, 5)
+        gr, gc, gv, m = build_gluing(prob.l2g, "full", True)
+        N = prob.ns * prob.nl
+        op = Gluing.from_coo(gr, gc, gv, m, N)
+        dense = sp.coo_matrix((gv, (gr, gc)), shape=(m, N)).toarray()
+        u = jnp.asarray(np.random.default_rng(0).standard_normal(N))
+        lam = jnp.asarray(np.random.default_rng(1).standard_normal(m))
+        np.testing.assert_allclose(np.asarray(op.mv(u)), dense @ np.asarray(u), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(op.rmv(lam)), dense.T @ np.asarray(lam), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(op.todense()), dense, atol=1e-12)
