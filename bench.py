@@ -115,6 +115,52 @@ def main():
             file=sys.stderr,
         )
 
+    # secondary (opt-in, PERMON_TPU_BENCH_FETI=1): TFETI dual-operator
+    # throughput — F = B K+ B' applications (batched per-subdomain Cholesky
+    # solves + gluing scatter), the hot op of every FETI iteration, on a
+    # 64-subdomain 3-D Poisson decomposition.  Gated because the remote
+    # compile of the batched triangular solves takes minutes on the tunnel.
+    try:
+        import os
+
+        if os.environ.get("PERMON_TPU_BENCH_FETI", "0") == "0":
+            raise RuntimeError("disabled (set PERMON_TPU_BENCH_FETI=1)")
+        from examples.feti_ex71 import build as build71
+        from permon_tpu.core.linop import Product, Transpose
+        from permon_tpu.feti import FetiOptions
+        from permon_tpu.feti.solve import assemble_qp, make_blockdiag_kplus
+
+        prob = build71(cells=(15, 15, 15), grid=(4, 4, 4))
+        qp71, Kb, fixed, nbases = assemble_qp(prob, FetiOptions(gluing="nonred"))
+        kplus = make_blockdiag_kplus(Kb, fixed, prob, nbases)
+        # f32 variants: the throughput-relevant path (v5e has no native f64)
+        kplus = kplus.replace(chols=kplus.chols.astype(jnp.float32))
+        BE32 = qp71.BE.replace(vals=qp71.BE.vals.astype(jnp.float32))
+        F = Product((BE32, kplus, Transpose(BE32)))
+        lam = jnp.ones(qp71.BE.shape[0], dtype=jnp.float32)
+
+        @jax.jit
+        def chain_apply(lam, steps):
+            def body(_, v):
+                w = F.mv(v)
+                return w / jnp.linalg.norm(w)
+            return jax.lax.fori_loop(0, steps, body, lam)
+
+        out = chain_apply(lam, 5)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        out = chain_apply(out, 50)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / 50
+        ndof = prob.ns * prob.nl
+        print(
+            f"secondary: feti_dual_apply ns={prob.ns} nl={prob.nl} "
+            f"({ndof} dofs, m={qp71.BE.shape[0]}) {dt * 1e3:.2f} ms/apply",
+            file=sys.stderr,
+        )
+    except Exception as e:  # keep the headline metric robust
+        print(f"secondary: feti bench skipped ({type(e).__name__}: {e})", file=sys.stderr)
+
     baseline = 5.0  # GnnZ/s/chip north-star from BASELINE.json
     print(
         json.dumps(
