@@ -20,7 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from examples.ex1 import build  # same A, b, obstacle as ex1
 
 
-def main(n: int = 100, view: bool = True, **solver_kwargs):
+def main(n: int = 100, view: bool = True, empty_nullsp: bool = False, **solver_kwargs):
+    """``empty_nullsp`` mirrors the reference's -empty_nullsp variant: an
+    explicit 0-column nullspace makes dualize keep a 0-row equality block, so
+    the default-solver rule routes through SMALXE (outer converges in 1
+    iteration, HAPPY_BREAKDOWN inner) with maxeig = max(rho, lambda_max)
+    injected into the inner MPRGP — oracle ex3_nullspace.out: 1 outer /
+    46 inner its, 74 mults, 18/27/1 steps."""
     import jax.numpy as jnp
 
     import permon_tpu as pt
@@ -33,6 +39,17 @@ def main(n: int = 100, view: bool = True, **solver_kwargs):
     qp = pt.QP.create(A, b, BI=BI, cI=cI)
 
     dual, post = dualize(qp)
+    if empty_nullsp:
+        from permon_tpu.solvers.smalxe import SMALXEOptions, smalxe
+
+        dual0 = dual.replace(
+            BE=pt.Dense.create(jnp.zeros((0, dual.b.shape[0]))), cE=jnp.zeros(0), pf=None
+        )
+        res = smalxe(dual0, opts=SMALXEOptions(inject_maxeig=True))
+        sol = post(Solution(x=res.x))
+        if view:
+            print(view_convergence(res))
+        return qp, dual, res, sol
     res = pt.solve(dual, **solver_kwargs)
     sol = post(Solution(x=res.x, g=res.g))
 

@@ -51,3 +51,21 @@ class TestJBearing:
         )
         # reference tolerance: 1e2*sqrt(eps) ~ 1.5e-6
         assert np.linalg.norm(np.asarray(res.x) - sol.x) < 7.9e-6
+
+
+class TestJBearingVariants:
+    """The nsize-2/3 grids share the serial oracle files (jbearing2_5/6)."""
+
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize(
+        "nx,ny,its,nmv,ncg,nprop",
+        [(10, 16, 34, 35, 31, 3), (30, 30, 119, 120, 111, 8)],
+    )
+    def test_counts(self, nx, ny, its, nmv, ncg, nprop):
+        from examples.jbearing2 import main
+
+        qp, res = main(nx=nx, ny=ny, view=False)
+        assert int(res.reason) == ConvergedReason.CONVERGED_RTOL
+        assert (int(res.iterations), int(res.nmv)) == (its, nmv)
+        assert (int(res.ncg), int(res.nexp), int(res.nprop)) == (ncg, 0, nprop)

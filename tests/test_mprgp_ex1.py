@@ -125,3 +125,27 @@ class TestEx2Parity:
         assert int(res.ncg) == 179
         assert int(res.nexp) == 11
         assert int(res.nprop) == 7
+
+
+class TestEx1VariantCounts:
+    """Exact oracles for the expansion-variant testset (nsize 2 shares the
+    serial trajectory): ex1_{opt,optapprox,bb,projcg}.out."""
+
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize(
+        "kw,ref",
+        [
+            (dict(expansion_type="gf", explength_type="opt"), (184, 217, 161, 16, 7)),
+            (dict(expansion_type="g", explength_type="optapprox"), (161, 189, 134, 27, 0)),
+            (dict(expansion_type="gfgr", explength_type="bb"), (200, 215, 174, 14, 12)),
+            (dict(expansion_type="projcg"), (160, 175, 134, 14, 12)),
+        ],
+        ids=["opt", "optapprox", "bb", "projcg"],
+    )
+    def test_exact_counts(self, kw, ref):
+        from examples.ex1 import main
+
+        qp, res = main(100, view=False, **kw)
+        got = (int(res.iterations), int(res.nmv), int(res.ncg), int(res.nexp), int(res.nprop))
+        assert got == ref

@@ -184,3 +184,18 @@ class TestChain:
         lamE = np.asarray(sol.lambda_E)
         r = L @ x - b + BE.T @ lamE
         assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+
+
+class TestEx3NullspaceVariant:
+    """-empty_nullsp variant (oracle ex3_nullspace.out): SMALXE over a 0-row
+    equality block — 1 outer iteration, 46 inner its, 74 Hessian mults,
+    18 CG / 27 expansion / 1 proportioning."""
+
+    def test_exact_counts(self):
+        from examples.ex3 import main
+
+        qp, dual, res, sol = main(100, view=False, empty_nullsp=True)
+        assert int(res.reason) > 0
+        assert int(res.iterations) == 1
+        assert int(res.inner_iterations) == 46
+        assert (int(res.nmv), int(res.ncg), int(res.nexp), int(res.nprop)) == (74, 18, 27, 1)
