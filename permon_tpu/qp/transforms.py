@@ -76,7 +76,9 @@ def ensure_pf(qp: QP, orthonormal_rows: bool = False) -> QP:
 # --------------------------------------------------------------------------
 
 
-def dualize(qp: QP, regularize: bool = True, kplus=None) -> Tuple[QP, PostSolve]:
+def dualize(
+    qp: QP, regularize: bool = True, kplus=None, kplus_mode: str = "plain"
+) -> Tuple[QP, PostSolve]:
     """Build the dual QP  min 1/2 l'Fl - d'l  s.t. G l = e, l_I >= 0 with
     F = B K+ B', d = B K+ b - c, G = R'B', e = R'b  (QPTDualize,
     qptransform.c:909-1197).
@@ -84,8 +86,14 @@ def dualize(qp: QP, regularize: bool = True, kplus=None) -> Tuple[QP, PostSolve]
     ``kplus`` lets callers supply a structured factorized inverse (e.g. a
     BlockDiagCholInv for TFETI); the default is a dense Cholesky of the
     (regularized) Hessian — the MAT_INV_MONOLITHIC path.
+
+    ``kplus_mode`` mirrors -qpt_dualize_Kplus_left / _mp (qptransform.c:
+    1019-1087): 'left' composes K+ <- P_R K+ (left generalized inverse,
+    output projected onto im K = ker R'), 'mp' the symmetric P_R K+ P_R
+    (Moore-Penrose when K+ is any generalized inverse); 'plain' keeps K+.
     """
     assert qp.BE is not None or qp.BI is not None, "dualize needs linear constraints"
+    assert kplus_mode in ("plain", "left", "mp"), kplus_mode
     A, b = qp.A, qp.b
 
     ops, cs, mE = [], [], 0
@@ -102,6 +110,12 @@ def dualize(qp: QP, regularize: bool = True, kplus=None) -> Tuple[QP, PostSolve]
     m = B.shape[0]
 
     Kplus = kplus if kplus is not None else make_inv(A, qp.R, regularize=regularize)
+    if kplus_mode != "plain" and qp.R is not None and qp.R.shape[1] > 0:
+        # P_R = I - R(R'R)^{-1}R' via a projector factory over R'
+        # (the Kplus_ QPPF of qptransform.c:1035-1046)
+        P_R = ProjOp(pf=Projector.create(Transpose(qp.R)))
+        factors = (P_R, Kplus, P_R) if kplus_mode == "mp" else (P_R, Kplus)
+        Kplus = Product(factors)
     F = Product((B, Kplus, Transpose(B)))
 
     d = B.mv(Kplus.mv(b)) - c

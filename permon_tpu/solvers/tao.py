@@ -95,7 +95,7 @@ def gpcg(qp: QP, tol: Tolerances = Tolerances(), pg_tol: float = 0.1,
             dAd = d @ Ad
             alpha = (-(g @ d) / dAd) if dAd > 0 else 1.0
             x_new = np.clip(x + alpha * d, lb, ub)
-            g = g + mv(x_new - x) if False else mv(x_new) - b
+            g = mv(x_new) - b
             nmv += 1
             x = x_new
             pg_its += 1

@@ -199,3 +199,34 @@ class TestEx3NullspaceVariant:
         assert int(res.iterations) == 1
         assert int(res.inner_iterations) == 46
         assert (int(res.nmv), int(res.ncg), int(res.nexp), int(res.nprop)) == (74, 18, 27, 1)
+
+
+class TestDualizeKplusModes:
+    """-qpt_dualize_Kplus_left/_mp (qptransform.c:1019-1087): the debug-mode
+    generalized-inverse identities K K+ K = K (left) and K+ K K+ = K+ (MP)."""
+
+    def test_left_and_mp_identities(self):
+        import jax.numpy as jnp
+
+        from examples.feti_ex1 import build
+        from permon_tpu.feti import FetiOptions
+        from permon_tpu.feti.solve import assemble_qp, make_blockdiag_kplus
+        from permon_tpu.qp.transforms import dualize
+
+        prob = build(3, 4)
+        qp, Kb, fixed, nb = assemble_qp(prob, FetiOptions())
+        kplus = make_blockdiag_kplus(Kb, fixed, prob, nb)
+        for mode in ("left", "mp"):
+            dual, post = dualize(qp, kplus=kplus, kplus_mode=mode)
+            Kp = dual.A.ops[1]  # the composed K+ inside F = B K+ B'
+            K = qp.A
+            v = jnp.asarray(np.random.default_rng(0).standard_normal(qp.b.shape[0]))
+            # K K+ K v == K v  (left generalized inverse)
+            np.testing.assert_allclose(
+                np.asarray(K.mv(Kp.mv(K.mv(v)))), np.asarray(K.mv(v)), atol=1e-8
+            )
+            if mode == "mp":
+                # K+ K K+ v == K+ v  (Moore-Penrose)
+                np.testing.assert_allclose(
+                    np.asarray(Kp.mv(K.mv(Kp.mv(v)))), np.asarray(Kp.mv(v)), atol=1e-8
+                )
