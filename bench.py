@@ -1,7 +1,7 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
 Headline: SpMV throughput in GnnZ/s on one chip (north star >= 5 GnnZ/s/chip,
-see BASELINE.json), measured on a 3-D 27-point Laplacian in the library's ELL
+see BASELINE.json), measured on a 3-D 7-point Laplacian in the library's ELL
 format — the kernel at the bottom of every PERMON-style hot loop (MPRGP /
 SMALXE / FETI dual applications are 1-2 SpMV + dots per iteration).
 
@@ -16,7 +16,7 @@ import numpy as np
 
 
 def build_laplacian_3d(nx: int):
-    """27-point 3-D Laplacian (nx^3 dofs) as scipy CSR."""
+    """7-point 3-D Laplacian (nx^3 dofs) as scipy CSR."""
     import scipy.sparse as sp
 
     n1 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx), format="csr")

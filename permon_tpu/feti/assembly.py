@@ -53,12 +53,32 @@ class FetiProblem:
     K_blocks: np.ndarray  # (ns, nl, nl)
     b_loc: np.ndarray  # (ns, nl)
     l2g: np.ndarray  # (ns, nl) int; -1 marks padding dofs (unequal subdomains)
-    dirichlet: np.ndarray  # (nd,) global ids
+    dirichlet: np.ndarray  # (nd,) ids in `dirichlet_numtype` numbering
     dirichlet_values: Optional[np.ndarray] = None
+    #: numbering of `dirichlet` (QPFetiSetDirichlet numtype, permonqpfeti.h:
+    #: 5-23): 'global_undecomposed' — ids in the assembled/global space
+    #: (default); 'global_decomposed' — ids into the concatenated decomposed
+    #: space (s*nl + i); 'local' — (s, i) pairs, shape (nd, 2)
+    dirichlet_numtype: str = "global_undecomposed"
     coords: Optional[np.ndarray] = None  # (ns, nl/dim, dim) for rigid body modes
     #: per-subdomain floating flag (block of K singular); None = auto-detect.
     #: The reference gets this from MUMPS null-pivot counts (matinv.c:55-195).
     floating: Optional[np.ndarray] = None
+
+    def dirichlet_global(self) -> np.ndarray:
+        """The Dirichlet set renumbered to global-undecomposed ids
+        (QPFetiAssembleDirichlet's renumbering step, qpfeti.c:153-200)."""
+        d = np.asarray(self.dirichlet)
+        if len(d) == 0:
+            return d.astype(np.int64).reshape(-1)
+        if self.dirichlet_numtype == "global_undecomposed":
+            return d.astype(np.int64)
+        if self.dirichlet_numtype == "global_decomposed":
+            return self.l2g.reshape(-1)[d.astype(np.int64)]
+        if self.dirichlet_numtype == "local":
+            d = d.reshape(-1, 2)
+            return self.l2g[d[:, 0], d[:, 1]]
+        raise ValueError(f"unknown dirichlet numtype {self.dirichlet_numtype!r}")
 
     def floating_mask(self, tol: float = 1e-10) -> np.ndarray:
         if self.floating is not None:
@@ -169,7 +189,7 @@ def build_dirichlet_rows(prob: FetiProblem):
         if prob.dirichlet_values is not None
         else np.zeros(len(prob.dirichlet))
     )
-    for g, val in zip(prob.dirichlet, dvals):
+    for g, val in zip(prob.dirichlet_global(), dvals):
         for (s, i) in copies[int(g)]:
             rows.append(r)
             cols.append(s * prob.nl + i)
@@ -194,7 +214,7 @@ def eliminate_dirichlet_in_blocks(prob: FetiProblem):
     )
     masks = np.zeros((prob.ns, prob.nl), dtype=bool)
     alpha = max(abs(prob.K_blocks.diagonal(axis1=1, axis2=2)).max(), 1.0)
-    for g, val in zip(prob.dirichlet, dvals):
+    for g, val in zip(prob.dirichlet_global(), dvals):
         for (s, i) in copies[int(g)]:
             b[s] -= K[s][:, i] * val
             K[s][i, :] = 0.0

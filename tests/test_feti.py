@@ -163,3 +163,31 @@ class TestAssembly:
         # translations + rotations annihilate a linear elastic operator's
         # rigid motions: check rotation mode is a valid infinitesimal rotation
         # (antisymmetric gradient) via the defining property R'R orthonormal
+
+
+class TestDirichletNumberingTypes:
+    """QPFetiSetDirichlet numtype LOCAL / GLOBAL_DECOMPOSED /
+    GLOBAL_UNDECOMPOSED (permonqpfeti.h:5-23): all three spellings of the
+    same Dirichlet set give identical solves."""
+
+    def test_numtypes_equivalent(self):
+        import dataclasses
+
+        from examples.feti_ex1 import build
+
+        prob = build(3, 4)
+        g = prob.dirichlet  # global-undecomposed ids: [0, ndofs-1]
+        # find decomposed/local spellings of the same dofs
+        loc = []
+        for gi in g:
+            s, i = [(s, i) for s in range(prob.ns) for i in range(prob.nl)
+                    if prob.l2g[s, i] == gi][0]
+            loc.append((s, i))
+        loc = np.array(loc)
+        dec = loc[:, 0] * prob.nl + loc[:, 1]
+        res0 = feti_solve(prob)
+        p1 = dataclasses.replace(prob, dirichlet=dec, dirichlet_numtype="global_decomposed")
+        p2 = dataclasses.replace(prob, dirichlet=loc, dirichlet_numtype="local")
+        for p in (p1, p2):
+            res = feti_solve(p)
+            np.testing.assert_allclose(res.x_global, res0.x_global, atol=1e-10)
