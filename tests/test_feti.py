@@ -53,6 +53,23 @@ class TestFetiEx1:
         xref = np.linalg.solve(A, b)
         np.testing.assert_allclose(res.x_global, xref, atol=1e-10)
 
+    def test_dirichlet_in_hessian_one_iteration(self):
+        """-dir_in_hess variant (oracle: feti/output/ex1_2.out — 1 iteration,
+        KKT residuals at machine precision).  Dirichlet dofs are eliminated
+        symmetrically in the local blocks (MatZeroRowsColumnsIS path,
+        qpfeti.c:153-312) instead of being appended as constraint rows."""
+        from examples.feti_ex1 import build
+
+        prob = build(4, 7)
+        res = feti_solve(prob, opts=FetiOptions(dirichlet_by_B=False))
+        assert int(res.result.reason) == ConvergedReason.CONVERGED_RTOL
+        assert int(res.result.iterations) == 1  # oracle: ex1_2.out
+        rE = np.asarray(res.qp.BE.mv(res.u_decomposed)) - np.asarray(res.qp.cE)
+        assert np.linalg.norm(rE) / np.linalg.norm(np.asarray(res.qp.b)) < 1e-12
+        # same solution as the constraint-row (TFETI) spelling
+        res_b = feti_solve(prob)
+        np.testing.assert_allclose(res.x_global, res_b.x_global, atol=1e-10)
+
     def test_smalxe_variant(self):
         """-project 0 -qps_smalxe_rho 1e1 -dual_qp_E_orth_type gs.
 
@@ -73,6 +90,29 @@ class TestFetiEx1:
         assert int(res.result.iterations) <= 20
         rE = np.asarray(res.qp.BE.mv(res.u_decomposed)) - np.asarray(res.qp.cE)
         normb = np.linalg.norm(np.asarray(res.qp.b))
+        assert np.linalg.norm(rE) / normb < 1e-5
+
+    def test_smalxe_implicit_orth_variant(self):
+        """-dual_qp_E_orth_type implicit (oracle:
+        ex1_smalxe_orth_dual_qp_E_orth_type-implicit.out — 16 iterations).
+        'implicit' marks G orthonormal without transforming it; for this
+        problem the gluing+Dirichlet G already has orthonormal rows, so the
+        behavior matches the gs variant (same non-invariance to K+ as
+        test_smalxe_variant, see PARITY.md)."""
+        from examples.feti_ex1 import build
+
+        prob = build(4, 7)
+        res_i = feti_solve(
+            prob,
+            opts=FetiOptions(
+                project=False, orth_G="implicit",
+                smalxe=SMALXEOptions(rho=1e1, inject_maxeig=True),
+            ),
+        )
+        assert int(res_i.result.reason) > 0
+        assert int(res_i.result.iterations) <= 20
+        rE = np.asarray(res_i.qp.BE.mv(res_i.u_decomposed)) - np.asarray(res_i.qp.cE)
+        normb = np.linalg.norm(np.asarray(res_i.qp.b))
         assert np.linalg.norm(rE) / normb < 1e-5
 
     @pytest.mark.parametrize("gluing", ["nonred", "full", "orth"])
