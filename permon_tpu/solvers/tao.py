@@ -166,10 +166,14 @@ def blmvm(qp: QP, tol: Tolerances = Tolerances(), maxiter: Optional[int] = None)
         return 0.5 * x @ Ax - b @ x, Ax - b
 
     ttol = max(tol.rtol * np.linalg.norm(b), tol.atol)
+    # scipy's gtol bounds the INF-norm of the projected gradient; the QPS
+    # convergence surface is the 2-norm, so scale by 1/sqrt(n) to guarantee
+    # ||gP||_2 <= ttol at exit (matches the reference's TAO custom test,
+    # qpstao.c:171-200, which installs the 2-norm criterion into TAO)
     res = minimize(
         fg, np.clip(np.asarray(qp.initial_vector()), lb, ub), jac=True,
         method="L-BFGS-B", bounds=list(zip(lb, ub)),
-        options={"maxiter": maxiter or tol.max_it, "gtol": ttol, "ftol": 0.0},
+        options={"maxiter": maxiter or tol.max_it, "gtol": ttol / np.sqrt(n), "ftol": 0.0},
     )
     g = fg(res.x)[1]
     rnorm = _proj_grad_norm(res.x, g, lb, ub)
