@@ -1,11 +1,18 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
 Headline: SpMV throughput in GnnZ/s on one chip (north star >= 5 GnnZ/s/chip,
-see BASELINE.json), measured on a 3-D 7-point Laplacian in the library's ELL
+see BASELINE.json), measured on a 3-D 7-point Laplacian in the library's DIA
 format — the kernel at the bottom of every PERMON-style hot loop (MPRGP /
 SMALXE / FETI dual applications are 1-2 SpMV + dots per iteration).
 
-Also reports end-to-end MPRGP solve throughput as secondary metrics on stderr.
+Timing methodology (the axon tunnel both memoizes identical executions and
+returns from block_until_ready before remote compute finishes, so naive
+python-loop timing is wrong in BOTH directions):
+- the SpMV is chained on-device inside one jitted lax.fori_loop (data
+  dependency step-to-step, nothing to memoize),
+- completion is forced by fetching a scalar reduction of the result to host,
+- the reported time is the MARGINAL cost between two step counts of the same
+  executable, cancelling dispatch latency, compile time, and tunnel RTT.
 """
 
 import json
@@ -29,11 +36,42 @@ def build_laplacian_3d(nx: int):
     return a.tocsr()
 
 
+_BENCH_SALT = [0]
+
+
+def _marginal_mv_time(mv, x0, lo=1000, hi=3000, reps=3):
+    """Marginal per-apply seconds of mv chained on-device (see module doc).
+
+    Each timed execution gets a unique input (tunnel executions are memoized
+    by content); min-of-reps at each step count rejects tunnel contention
+    noise before taking the marginal."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(x, steps):
+        return jax.lax.fori_loop(0, steps, lambda i, v: mv(v) + 1e-30, x)
+
+    def timed(steps):
+        best = float("inf")
+        for _ in range(reps):
+            _BENCH_SALT[0] += 1
+            x = x0 * (1.0 + 1e-6 * _BENCH_SALT[0])
+            t0 = time.perf_counter()
+            _ = float(jnp.sum(chain(x, steps)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    _ = float(jnp.sum(chain(x0, 5)))  # compile + warm
+    return max((timed(hi) - timed(lo)) / (hi - lo), 1e-12)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     import permon_tpu as pt
+    from permon_tpu.core.dia import Dia
 
     dev = jax.devices()[0]
     nx = 64  # 262144 dofs, ~1.8M nnz
@@ -41,77 +79,65 @@ def main():
     n = a.shape[0]
     nnz = a.nnz
 
-    # throughput benchmark runs in f32 (bandwidth-bound; parity solves use f64)
-    op64 = pt.Ell.from_scipy(a)
-    op = pt.Ell(cols=op64.cols, vals=op64.vals.astype(jnp.float32), shape=op64.shape)
-    x = jnp.ones(n, dtype=jnp.float32)
-
-    spmv = jax.jit(lambda o, v: o.mv(v))
-    y = spmv(op, x)
-    y.block_until_ready()
-
-    iters = 200
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = spmv(op, x)
-    x.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    gnnzs = nnz / dt / 1e9
-
-    # DIA (diagonal) format: the speed-of-light layout for this stencil
-    # operator — unit-stride streams, no gathers; take the best of the two
-    from permon_tpu.core.dia import Dia
-
+    # throughput benchmark runs in f32 (bandwidth-bound; parity solves use
+    # f64); the operator is scaled by 1/12 (= 1/lambda_max) so the chained
+    # iterates stay bounded
     d64 = Dia.from_scipy(a)
-    dia = d64.replace(data=d64.data.astype(jnp.float32))
-    xd = jnp.ones(n, dtype=jnp.float32)
-    spmv_d = jax.jit(lambda o, v: o.mv(v))
-    xd = spmv_d(dia, xd)
-    xd.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        xd = spmv_d(dia, xd)
-    xd.block_until_ready()
-    dt_d = (time.perf_counter() - t0) / iters
-    gnnzs_dia = nnz / dt_d / 1e9
-    print(f"secondary: ell {gnnzs:.1f} dia {gnnzs_dia:.1f} GnnZ/s", file=sys.stderr)
-    gnnzs = max(gnnzs, gnnzs_dia)
+    dia = d64.replace(data=(d64.data / 12.0).astype(jnp.float32))
+    x0 = jnp.ones(n, dtype=jnp.float32)
 
-    # secondary: fully-jitted MPRGP iteration throughput on the ex1 obstacle
-    # problem (fixed 500-iteration budget, whole solve = one XLA executable)
+    per = _marginal_mv_time(dia.mv, x0)
+    gnnzs_dia = nnz / per / 1e9
+
+    pal = dia.replace(use_pallas=True)
+    per_p = _marginal_mv_time(pal.mv, x0)
+    gnnzs_pal = nnz / per_p / 1e9
+
+    print(
+        f"secondary: dia/xla {gnnzs_dia:.1f} dia/pallas {gnnzs_pal:.1f} GnnZ/s "
+        f"({per * 1e6:.1f} / {per_p * 1e6:.1f} us/mv, device={dev.device_kind})",
+        file=sys.stderr,
+    )
+    gnnzs = max(gnnzs_dia, gnnzs_pal)
+
+    # secondary: fully-jitted MPRGP solve on the ex1 obstacle problem
+    # (fixed 500-iteration budget, whole solve = one XLA executable); the
+    # tridiagonal Hessian uses the DIA production format via make_operator
     sys.path.insert(0, "/root/repo")
     from examples.ex1 import build
     from permon_tpu.qpc.box import BoxConstraint
-
-    A1, b1, lb1 = build(10000)
     import scipy.sparse as sp
 
-    # difference-of-two-budgets timing: (t(500 its) - t(100 its)) / 400
-    # cancels the constant dispatch/transfer overhead of the tunnel
+    A1, b1, lb1 = build(10000)
     for dt_name, dt in (("f64", jnp.float64), ("f32", jnp.float32)):
-        op1 = pt.Ell.from_scipy(sp.csr_matrix(A1))
-        op1 = pt.Ell(cols=op1.cols, vals=op1.vals.astype(dt), shape=op1.shape)
+        op64 = pt.make_operator(sp.csr_matrix(A1))
+        op1 = op64.replace(data=op64.data.astype(dt))
         qp = pt.QP(
             A=op1, b=jnp.asarray(b1, dt),
             box=BoxConstraint.create(len(b1), lb=jnp.asarray(lb1, dt)),
         )
         solver = pt.make_solver(tol=pt.Tolerances(max_it=500))
         res = solver(qp)  # warm-up/compile
-        res.x.block_until_ready()
-        # time N solves CHAINED by data dependency (each rhs depends on the
-        # previous solution) — immune to any dispatch/result caching
-        nrep = 3
-        t0 = time.perf_counter()
-        cur = qp
-        for _ in range(nrep):
-            res = solver(cur)
-            cur = qp.replace(b=qp.b + 1e-14 * res.x)
-        res.x.block_until_ready()
-        cur.b.block_until_ready()
-        per_solve = (time.perf_counter() - t0) / nrep
+        _ = float(jnp.sum(res.x))
+
+        def run(nrep):
+            # unique starting rhs per run: no execution is ever repeated, so
+            # the tunnel's content-addressed memoization cannot short-circuit
+            _BENCH_SALT[0] += 1
+            cur = qp.replace(b=qp.b * (1.0 + 1e-9 * _BENCH_SALT[0]))
+            t0 = time.perf_counter()
+            for _ in range(nrep):
+                res = solver(cur)
+                cur = cur.replace(b=cur.b + 1e-14 * res.x)  # data-chained
+            _ = float(jnp.sum(cur.b))
+            return time.perf_counter() - t0
+
+        t_lo = min(run(2), run(2))
+        t_hi = min(run(10), run(10))
+        per_solve = max((t_hi - t_lo) / 8, 1e-12)
         print(
-            f"secondary: device={dev} mprgp_ex1_n10000 {dt_name} "
-            f"{per_solve * 1e3:.1f} ms / 500 its (fully jitted, chained)",
+            f"secondary: mprgp_ex1_n10000 {dt_name} "
+            f"{per_solve * 1e3:.1f} ms / 500 its (fully jitted, chained, marginal)",
             file=sys.stderr,
         )
 
@@ -137,25 +163,14 @@ def main():
         kplus = kplus.replace(chols=kplus.chols.astype(jnp.float32))
         BE32 = qp71.BE.replace(vals=qp71.BE.vals.astype(jnp.float32))
         F = Product((BE32, kplus, Transpose(BE32)))
-        lam = jnp.ones(qp71.BE.shape[0], dtype=jnp.float32)
-
-        @jax.jit
-        def chain_apply(lam, steps):
-            def body(_, v):
-                w = F.mv(v)
-                return w / jnp.linalg.norm(w)
-            return jax.lax.fori_loop(0, steps, body, lam)
-
-        out = chain_apply(lam, 5)
-        out.block_until_ready()
-        t0 = time.perf_counter()
-        out = chain_apply(out, 50)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / 50
+        lam0 = jnp.ones(qp71.BE.shape[0], dtype=jnp.float32)
+        per_f = _marginal_mv_time(
+            lambda v: F.mv(v) / jnp.linalg.norm(F.mv(v)), lam0, lo=10, hi=30
+        )
         ndof = prob.ns * prob.nl
         print(
             f"secondary: feti_dual_apply ns={prob.ns} nl={prob.nl} "
-            f"({ndof} dofs, m={qp71.BE.shape[0]}) {dt * 1e3:.2f} ms/apply",
+            f"({ndof} dofs, m={qp71.BE.shape[0]}) {per_f * 1e3:.2f} ms/apply",
             file=sys.stderr,
         )
     except Exception as e:  # keep the headline metric robust

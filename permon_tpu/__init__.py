@@ -42,6 +42,8 @@ from .core.linop import (
     Transpose,
     aslinearoperator,
 )
+from .core.dia import Dia
+from .core.matutils import make_operator
 from .core.eig import max_eigenvalue
 from .core.convergence import ConvergedReason, Tolerances
 from .core import vec
@@ -65,6 +67,8 @@ __all__ = [
     "Timer",
     "Transpose",
     "aslinearoperator",
+    "Dia",
+    "make_operator",
     "max_eigenvalue",
     "ConvergedReason",
     "Tolerances",

