@@ -368,7 +368,10 @@ def aslinearoperator(a) -> LinearOperator:
         import scipy.sparse as sp
 
         if sp.issparse(a):
-            return Ell.from_scipy(a)
+            # banded -> DIA (HBM-roofline shifted streams), else ELL
+            from .matutils import make_operator
+
+            return make_operator(a)
     except ImportError:
         pass
     raise TypeError(f"cannot interpret {type(a)} as LinearOperator")

@@ -458,6 +458,49 @@ def all_in_one(
     return qp, compose(steps)
 
 
+def feti_prepare(qp: QP, kplus=None, regularize: bool = True) -> Tuple[QP, PostSolve]:
+    """Dualize -> HomogenizeEq -> EnforceEqByProjector — the canonical TFETI
+    pipeline (QPTFetiPrepare, qptransform.c:1200-1210)."""
+    return all_in_one(qp, dual=True, project=True, regularize=regularize, kplus=kplus)
+
+
+def feti_prepare_reuse_cp(qp: QP, kplus=None, regularize: bool = True,
+                          _cache={}) -> Tuple[QP, PostSolve]:
+    """QPTFetiPrepareReuseCP (qptransform.c:1213-1251): like feti_prepare but
+    the coarse-problem factorization (the dual QP's projector) is cached on
+    the equality operator and reused across repeated solves with changing
+    right-hand sides (time stepping, contact outer loops).  The cache key is
+    the identity of the dual constraint operator's arrays, matching the
+    reference's static QPReusedCP keyed on the G matrix."""
+    # key on the PRIMAL constraint + nullspace arrays: they are the objects
+    # that persist across qp.replace(b=...) in the time-stepping use case
+    # (the reference reuses its static QPReusedCP exactly when the caller's
+    # G — determined by BE and R — is unchanged)
+    key = tuple(
+        id(leaf) for leaf in jax.tree_util.tree_leaves((qp.BE, qp.BI, qp.R))
+    )
+    dual, post_d = dualize(qp, regularize=regularize, kplus=kplus)
+    pf = _cache.get(key)
+    if pf is None and dual.BE is not None:
+        dual = ensure_pf(dual)
+        _cache[key] = dual.pf
+    elif pf is not None:
+        dual = dual.replace(pf=pf)
+    steps = [(dual, post_d)]
+    cur = dual
+    if cur.cE is not None:
+        cur, post_h = homogenize_eq(cur)
+        steps.append((cur, post_h))
+    if cur.BE is not None:
+        pf_holder = cur
+        cur, post_p = enforce_eq_by_projector(cur)
+        # carry the (cached) coarse-problem factorization on the child, the
+        # way the reference's child QP keeps its QPPF for later reuse
+        cur = cur.replace(pf=pf_holder.pf)
+        steps.append((cur, post_p))
+    return cur, compose(steps)
+
+
 def split_be(qp: QP) -> Tuple[QP, PostSolve]:
     """Split BE rows into gluing (>=2 nonzeros) and Dirichlet (1 nonzero)
     blocks, child BE = [Bg; Bd] (QPTSplitBE, qptransform.c:1829-1902).

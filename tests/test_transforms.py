@@ -2,6 +2,7 @@
 penalty / orthonormalization, including the ex3 parity oracle and
 generalized-inverse identities the reference checks in debug mode."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -230,3 +231,52 @@ class TestDualizeKplusModes:
                 np.testing.assert_allclose(
                     np.asarray(Kp.mv(K.mv(Kp.mv(v)))), np.asarray(Kp.mv(v)), atol=1e-8
                 )
+
+
+class TestFetiPrepare:
+    """QPTFetiPrepare / QPTFetiPrepareReuseCP analogs (qptransform.c:1200-1251)."""
+
+    def _eq_qp(self):
+        # SINGULAR Hessian with a 2-dim nullspace so the dual carries a
+        # nonempty coarse space G = R'B' (the TFETI situation)
+        rng = np.random.default_rng(11)
+        n = 20
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        R = Q[:, :2]
+        A = Q[:, 2:] @ np.diag(1.0 + rng.random(n - 2)) @ Q[:, 2:].T
+        b = rng.standard_normal(n)
+        BE = rng.standard_normal((3, n))
+        qp = pt.QP.create(A, b)
+        qp = qp.replace(
+            BE=pt.Dense.create(jnp.asarray(BE)),
+            cE=jnp.zeros(3),
+            R=pt.Dense.create(jnp.asarray(R)),
+        )
+        return qp, A, b, BE
+
+    def test_feti_prepare_matches_kkt(self):
+        from permon_tpu.qp.transforms import Solution, feti_prepare
+
+        qp, A, b, BE = self._eq_qp()
+        child, post = feti_prepare(qp)
+        res = pt.solve(child)
+        x = np.asarray(post(Solution(x=res.x)).x)
+        kkt = np.block([[A, BE.T], [BE, np.zeros((3, 3))]])
+        xs = np.linalg.solve(kkt, np.concatenate([b, np.zeros(3)]))
+        np.testing.assert_allclose(x, xs[: len(b)], atol=1e-5)
+
+    def test_reuse_cp_caches_projector(self):
+        from permon_tpu.qp.transforms import Solution, feti_prepare_reuse_cp
+
+        qp, A, b, BE = self._eq_qp()
+        c1, post1 = feti_prepare_reuse_cp(qp)
+        # second solve, different rhs, same constraints -> same projector obj
+        qp2 = qp.replace(b=qp.b * 2.0)
+        c2, post2 = feti_prepare_reuse_cp(qp2)
+        # the cached coarse factorization must be reused (same ggt_chol array)
+        assert c1.pf is not None and c2.pf is not None
+        assert c1.pf.ggt_chol is c2.pf.ggt_chol or c1.pf is c2.pf
+        x2 = np.asarray(post2(Solution(x=pt.solve(c2).x)).x)
+        kkt = np.block([[A, BE.T], [BE, np.zeros((3, 3))]])
+        xs = np.linalg.solve(kkt, np.concatenate([2.0 * b, np.zeros(3)]))
+        np.testing.assert_allclose(x2, xs[: len(b)], atol=1e-5)
