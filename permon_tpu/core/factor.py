@@ -52,20 +52,49 @@ class BlockDiagCholInv(LinearOperator):
 
     All blocks share one (padded) size so the factorization and solves are a
     single batched MXU-friendly call; this replaces the reference's per-rank
-    PCBJACOBI sub-KSP factorizations (matinv.c:551-575)."""
+    PCBJACOBI sub-KSP factorizations (matinv.c:551-575).
+
+    Two apply modes:
+    - triangular solves against the stored Cholesky factors (default; the
+      most accurate, used by the f64 parity paths), and
+    - ``explicit=True``: the blocks are inverted once at setup and applies
+      become one batched GEMV — the MatInvExplicitly analog (matinv.c:
+      594-629).  On TPU the batched triangular solve is latency-bound
+      (~200x slower than the GEMV at bs=125 measured on v5e), so this is
+      the production/throughput mode."""
 
     chols: jax.Array  # (nb, bs, bs)
     shape: Tuple[int, int] = struct.field(pytree_node=False)
+    invs: Optional[jax.Array] = None  # (nb, bs, bs) explicit inverses
 
     @classmethod
-    def from_blocks(cls, blocks: jax.Array) -> "BlockDiagCholInv":
+    def from_blocks(cls, blocks: jax.Array, explicit: bool = False) -> "BlockDiagCholInv":
         nb, bs, _ = blocks.shape
         chols = jnp.linalg.cholesky(blocks)
-        return cls(chols=chols, shape=(int(nb * bs), int(nb * bs)))
+        invs = None
+        if explicit:
+            eye = jnp.broadcast_to(jnp.eye(bs, dtype=blocks.dtype), blocks.shape)
+            invs = jax.vmap(lambda c, e: jax.scipy.linalg.cho_solve((c, True), e))(
+                chols, eye
+            )
+        return cls(chols=chols, shape=(int(nb * bs), int(nb * bs)), invs=invs)
+
+    def explicitly(self) -> "BlockDiagCholInv":
+        """Return a copy with the explicit-inverse apply mode enabled."""
+        if self.invs is not None:
+            return self
+        nb, bs, _ = self.chols.shape
+        eye = jnp.broadcast_to(jnp.eye(bs, dtype=self.chols.dtype), self.chols.shape)
+        invs = jax.vmap(lambda c, e: jax.scipy.linalg.cho_solve((c, True), e))(
+            self.chols, eye
+        )
+        return self.replace(invs=invs)
 
     def mv(self, x):
         nb, bs, _ = self.chols.shape
         xb = x.reshape(nb, bs)
+        if self.invs is not None:
+            return jnp.einsum("sij,sj->si", self.invs, xb).reshape(-1)
         yb = jax.vmap(lambda c, v: jax.scipy.linalg.cho_solve((c, True), v))(self.chols, xb)
         return yb.reshape(-1)
 

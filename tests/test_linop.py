@@ -1,5 +1,6 @@
 """Unit tests of core linear operators against dense numpy references."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -86,3 +87,36 @@ class TestGluingOp:
         np.testing.assert_allclose(np.asarray(op.mv(u)), dense @ np.asarray(u), atol=1e-12)
         np.testing.assert_allclose(np.asarray(op.rmv(lam)), dense.T @ np.asarray(lam), atol=1e-12)
         np.testing.assert_allclose(np.asarray(op.todense()), dense, atol=1e-12)
+
+
+class TestThroughputModes:
+    """Explicit-inverse K+ and dense-block extension applies must match the
+    default triangular-solve / triplet paths (the production throughput modes
+    used by the FETI dual operator, see bench.py)."""
+
+    def test_blockdiag_explicit_inverse(self):
+        from permon_tpu.core.factor import BlockDiagCholInv
+
+        rng = np.random.RandomState(5)
+        blocks = rng.rand(3, 7, 7)
+        blocks = blocks @ blocks.transpose(0, 2, 1) + 7 * np.eye(7)
+        op = BlockDiagCholInv.from_blocks(jnp.asarray(blocks))
+        x = jnp.asarray(rng.rand(21))
+        y_tri = np.asarray(op.mv(x))
+        y_exp = np.asarray(op.explicitly().mv(x))
+        np.testing.assert_allclose(y_exp, y_tri, rtol=1e-10)
+
+    def test_extension_dense_blocks(self):
+        from permon_tpu.core.extension import SubdomainExtension
+
+        rng = np.random.RandomState(6)
+        ns, nl, m, nnz = 4, 9, 11, 20
+        rows = rng.randint(0, m, nnz)
+        cols = rng.randint(0, ns * nl, nnz)
+        vals = rng.randn(nnz)
+        B = SubdomainExtension.from_coo(rows, cols, vals, m=m, ns=ns, nl=nl)
+        Bd = B.with_dense_blocks()
+        u = jnp.asarray(rng.rand(ns * nl))
+        lam = jnp.asarray(rng.rand(m))
+        np.testing.assert_allclose(np.asarray(Bd.mv(u)), np.asarray(B.mv(u)), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Bd.rmv(lam)), np.asarray(B.rmv(lam)), atol=1e-12)
