@@ -62,6 +62,12 @@ class FetiOptions:
     #: 'numeric' (per-block eigendecomposition, the MUMPS null-pivot analog),
     #: 'rbm' (rigid body modes from prob.coords, elasticity)
     nullspace: str = "constant"
+    #: production/throughput mode: explicit per-block K+ inverses (batched
+    #: GEMV instead of triangular solves) and dense condensed extension
+    #: blocks (batched einsum instead of per-nnz gathers) — ~6x faster dual
+    #: applies on TPU at the cost of a denser setup; the f64 parity tests
+    #: keep the triangular-solve path (default)
+    throughput: bool = False
     smalxe: SMALXEOptions = dataclasses.field(default_factory=SMALXEOptions)
 
 
@@ -103,6 +109,8 @@ def assemble_qp(prob: FetiProblem, opts: FetiOptions = FetiOptions()):
     # batched per-subdomain extension form: rmv is communication-free and mv
     # needs a single psum when the subdomain axis is sharded over devices
     BE = SubdomainExtension.from_coo(rows, cols, vals, m=row_off, ns=ns, nl=nl)
+    if opts.throughput:
+        BE = BE.with_dense_blocks()
     cE = jnp.asarray(np.concatenate(cE_parts))
 
     # floating subdomains = singular blocks of the FINAL K (the reference
@@ -144,7 +152,8 @@ def assemble_qp(prob: FetiProblem, opts: FetiOptions = FetiOptions()):
 
 
 def make_blockdiag_kplus(
-    K_blocks: np.ndarray, fixed_mask, prob: FetiProblem, null_bases=None
+    K_blocks: np.ndarray, fixed_mask, prob: FetiProblem, null_bases=None,
+    explicit: bool = False,
 ):
     """Batched per-block regularized Cholesky K+ (the MAT_INV_BLOCKDIAG path
     with MatRegularize, matinv.c:435-590 + permonmatregularize.c).
@@ -165,7 +174,7 @@ def make_blockdiag_kplus(
             Q[real, 0] = 1.0 / np.sqrt(len(real))
         rho = float(np.linalg.eigvalsh(K_blocks[s])[-1])
         Kreg[s] = Kreg[s] + rho * (Q @ Q.T)
-    return BlockDiagCholInv.from_blocks(jnp.asarray(Kreg))
+    return BlockDiagCholInv.from_blocks(jnp.asarray(Kreg), explicit=explicit)
 
 
 class FetiSolver:
@@ -184,7 +193,10 @@ class FetiSolver:
         self.prob = prob
         self.opts = opts
         self.qp, self._K_blocks, self._fixed_mask, self._null_bases = assemble_qp(prob, opts)
-        self.kplus = make_blockdiag_kplus(self._K_blocks, self._fixed_mask, prob, self._null_bases)
+        self.kplus = make_blockdiag_kplus(
+            self._K_blocks, self._fixed_mask, prob, self._null_bases,
+            explicit=opts.throughput,
+        )
 
     def solve(self, b_loc=None, tol: Tolerances = Tolerances()) -> "FetiResult":
         prob = self.prob
@@ -208,7 +220,9 @@ def feti_solve(
     tol: Tolerances = Tolerances(),
 ) -> FetiResult:
     qp, K_blocks, fixed_mask, null_bases = assemble_qp(prob, opts)
-    kplus = make_blockdiag_kplus(K_blocks, fixed_mask, prob, null_bases)
+    kplus = make_blockdiag_kplus(
+        K_blocks, fixed_mask, prob, null_bases, explicit=opts.throughput
+    )
     return _feti_solve_impl(prob, opts, tol, qp, kplus)
 
 
