@@ -72,3 +72,39 @@ class QP:
     def objective_from_gradient(self, x, g) -> jax.Array:
         """f = 1/2 x.(g - b) given g = Ax - b (reference: qp.c:981-994)."""
         return 0.5 * jnp.vdot(x, g - self.b)
+
+    def lagrangian_gradient(self, x, lambda_E=None, lambda_I=None,
+                            llb=None, lub=None) -> jax.Array:
+        """r = Ax - b + BE'lE + BI'lI - llb + lub
+        (QPComputeLagrangianGradient, qp.c)."""
+        r = self.gradient(x)
+        if lambda_E is not None and self.BE is not None:
+            r = r + self.BE.rmv(lambda_E)
+        if lambda_I is not None and self.BI is not None:
+            r = r + self.BI.rmv(lambda_I)
+        if llb is not None:
+            r = r - llb
+        if lub is not None:
+            r = r + lub
+        return r
+
+    def compute_missing_eq_multiplier(self, x) -> jax.Array:
+        """Least-squares lE = (BE BE')^{-1} BE (b - Ax), the minimizer of
+        ||Ax - b + BE'lE|| (QPComputeMissingEqMultiplier, qp.c — the
+        reference applies its QPPF HalfQ to -g the same way)."""
+        assert self.BE is not None
+        from .projector import Projector
+
+        pf = self.pf if self.pf is not None else Projector.create(self.BE)
+        return pf.apply_half_q(-self.gradient(x))
+
+    def compute_missing_box_multipliers(self, x, g=None):
+        """(llb, lub) from the Lagrangian gradient r = Ax - b at the active
+        bounds (QPComputeMissingBoxMultipliers, qp.c + qpcbox.c:150-172)."""
+        assert self.box is not None
+        r = g if g is not None else self.gradient(x)
+        return self.box.multipliers_from_lagrangian(r)
+
+    def compare_eq_multiplier_with_least_square(self, x, lambda_E) -> jax.Array:
+        """||lE - lE_LS|| (QPCompareEqMultiplierWithLeastSquare, qp.c)."""
+        return jnp.linalg.norm(lambda_E - self.compute_missing_eq_multiplier(x))

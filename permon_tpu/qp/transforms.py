@@ -464,8 +464,11 @@ def feti_prepare(qp: QP, kplus=None, regularize: bool = True) -> Tuple[QP, PostS
     return all_in_one(qp, dual=True, project=True, regularize=regularize, kplus=kplus)
 
 
+_REUSE_CP_CACHE: dict = {}
+
+
 def feti_prepare_reuse_cp(qp: QP, kplus=None, regularize: bool = True,
-                          _cache={}) -> Tuple[QP, PostSolve]:
+                          _cache=_REUSE_CP_CACHE) -> Tuple[QP, PostSolve]:
     """QPTFetiPrepareReuseCP (qptransform.c:1213-1251): like feti_prepare but
     the coarse-problem factorization (the dual QP's projector) is cached on
     the equality operator and reused across repeated solves with changing
@@ -499,6 +502,12 @@ def feti_prepare_reuse_cp(qp: QP, kplus=None, regularize: bool = True,
         cur = cur.replace(pf=pf_holder.pf)
         steps.append((cur, post_p))
     return cur, compose(steps)
+
+
+def feti_prepare_reuse_cp_reset() -> None:
+    """Drop all cached coarse-problem factorizations
+    (QPTFetiPrepareReuseCPReset, qptransform.c:1254-1260)."""
+    _REUSE_CP_CACHE.clear()
 
 
 def split_be(qp: QP) -> Tuple[QP, PostSolve]:

@@ -280,3 +280,49 @@ class TestFetiPrepare:
         kkt = np.block([[A, BE.T], [BE, np.zeros((3, 3))]])
         xs = np.linalg.solve(kkt, np.concatenate([2.0 * b, np.zeros(3)]))
         np.testing.assert_allclose(x2, xs[: len(b)], atol=1e-5)
+
+
+class TestQPMultiplierUtils:
+    """QPComputeLagrangianGradient / MissingEqMultiplier / MissingBox /
+    CompareEqMultiplierWithLeastSquare analogs (qp.c)."""
+
+    def test_missing_eq_multiplier_is_least_squares(self):
+        rng = np.random.default_rng(12)
+        n = 15
+        M = rng.standard_normal((n, n))
+        A = M @ M.T + n * np.eye(n)
+        b = rng.standard_normal(n)
+        BE = rng.standard_normal((3, n))
+        qp = pt.QP.create(A, b, BE=BE, cE=np.zeros(3))
+        # solve the KKT system directly
+        kkt = np.block([[A, BE.T], [BE, np.zeros((3, 3))]])
+        xs = np.linalg.solve(kkt, np.concatenate([b, np.zeros(3)]))
+        x, lam = xs[:n], xs[n:]
+        lam_rec = np.asarray(qp.compute_missing_eq_multiplier(jnp.asarray(x)))
+        np.testing.assert_allclose(lam_rec, lam, atol=1e-8)
+        assert float(qp.compare_eq_multiplier_with_least_square(
+            jnp.asarray(x), jnp.asarray(lam))) < 1e-8
+        r = qp.lagrangian_gradient(jnp.asarray(x), lambda_E=jnp.asarray(lam))
+        assert float(jnp.linalg.norm(r)) < 1e-8
+
+    def test_missing_box_multipliers(self):
+        from examples.ex1 import build
+
+        A, b, lb = build(60)
+        qp = pt.QP.create(A, b, lb=lb)
+        res = pt.solve(qp)
+        llb, lub = qp.compute_missing_box_multipliers(res.x, g=res.g)
+        # KKT: r = g - llb + lub ~ 0, llb >= 0, complementarity
+        r = qp.lagrangian_gradient(res.x, llb=llb, lub=lub)
+        nb = float(jnp.linalg.norm(qp.b))
+        assert float(jnp.linalg.norm(r)) / nb < 1e-4
+        # sign violations are bounded by the solver tolerance (the reference
+        # reports them as the ||min(lambda_lb,0)|| KKT residual, not as exact)
+        assert float(jnp.linalg.norm(jnp.minimum(llb, 0.0))) / nb < 1e-4
+
+    def test_reuse_cp_reset(self):
+        from permon_tpu.qp.transforms import (
+            _REUSE_CP_CACHE, feti_prepare_reuse_cp_reset)
+
+        feti_prepare_reuse_cp_reset()
+        assert len(_REUSE_CP_CACHE) == 0
