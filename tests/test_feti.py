@@ -266,3 +266,50 @@ class TestWeakScaling:
             assert int(res.result.reason) == ConvergedReason.CONVERGED_RTOL
             its.append(int(res.result.iterations))
         assert its[-1] <= 2 * its[0], its  # bounded, not growing with ns
+
+
+class TestContact:
+    """TFETI contact (obstacle as linear inequalities through dualize ->
+    project -> SMALXE+MPRGP — the SMALBE contact machinery the reference is
+    built for).  Oracle: the serial ex1 MPRGP solution on the same grid
+    (itself digit-exact vs the reference's committed output)."""
+
+    def test_matches_serial_obstacle_solution(self):
+        import jax.numpy as jnp
+
+        from examples.ex1 import build as build1
+        from examples.feti_contact import build
+        from permon_tpu.feti.solve import assemble_qp, make_blockdiag_kplus
+        from permon_tpu.qp.transforms import Solution, all_in_one
+
+        prob, BI, cI, lb = build(4, 25)
+        qp, Kb, fixed, nb = assemble_qp(prob, FetiOptions(gluing="nonred"))
+        qp = qp.replace(BI=BI, cI=jnp.asarray(cI))
+        kplus = make_blockdiag_kplus(Kb, fixed, prob, nb)
+        child, post = all_in_one(qp, dual=True, project=True, kplus=kplus)
+        res = pt.solve(child, tol=Tolerances(rtol=1e-8))
+        sol = post(Solution(x=res.x, Bt_lambda=getattr(res, "Bt_lambda", None)))
+        u = np.asarray(sol.x).reshape(prob.ns, prob.nl)
+        n = prob.n_global
+        xg = np.zeros(n)
+        cnt = np.zeros(n)
+        for s in range(prob.ns):
+            np.add.at(xg, prob.l2g[s], u[s])
+            np.add.at(cnt, prob.l2g[s], 1.0)
+        xg /= cnt
+        A, b, lbv = build1(101)
+        ref = np.asarray(
+            pt.solve(pt.QP.create(A, b, lb=lbv), tol=Tolerances(rtol=1e-10)).x
+        )
+        assert np.max(np.abs(xg - ref)) < 1e-6
+        # contact is actually active on this problem
+        assert 3 <= (xg - lbv < 1e-8).sum() <= 20
+        # inequality multipliers (contact forces) are nonnegative
+        lamI = np.asarray(sol.lambda_I)
+        assert float(lamI.min()) >= -1e-10
+
+    def test_example_main_runs(self):
+        from examples.feti_contact import main
+
+        x, res, sol = main(ns=2, ne=20, view=False)
+        assert np.isfinite(x).all()
