@@ -37,42 +37,11 @@ def make_blobs(n=200, dim=2, seed=0, margin=1.0):
 
 
 def train(X, y, C=1.0, rtol=1e-6):
-    """Solve the C-SVM dual; returns (w, b, alpha, result)."""
-    import jax.numpy as jnp
+    """Solve the C-SVM dual via permon_tpu.svm; returns (w, b, alpha, result)."""
+    from permon_tpu.svm import SVC
 
-    import permon_tpu as pt
-    from permon_tpu.core.linop import Dense, Diagonal, OneRow, Product
-
-    n, dim = X.shape
-    Xj = jnp.asarray(X)
-    yj = jnp.asarray(y)
-
-    # Q = diag(y) X X' diag(y) as a lazy 4-factor product (never materialized)
-    Dy = Diagonal.create(yj)
-    Xop = Dense.create(Xj)
-    from permon_tpu.core.linop import Transpose
-
-    Q = Product((Dy, Xop, Transpose(Xop), Dy))
-
-    qp = pt.QP(
-        A=Q,
-        b=jnp.ones(n),
-        BE=OneRow(v=yj),
-        cE=jnp.zeros(1),
-        box=__import__("permon_tpu.qpc.box", fromlist=["BoxConstraint"]).BoxConstraint.create(
-            n, lb=jnp.zeros(n), ub=jnp.full(n, C)
-        ),
-    )
-    res = pt.solve(qp, tol=pt.Tolerances(rtol=rtol))
-    alpha = np.asarray(res.x)
-
-    w = (alpha * y) @ X
-    # bias from on-margin support vectors (0 < a < C)
-    sv = (alpha > 1e-6 * C) & (alpha < (1 - 1e-6) * C)
-    if not sv.any():
-        sv = alpha > 1e-6 * C
-    b = float(np.mean(y[sv] - X[sv] @ w))
-    return w, b, alpha, res
+    clf = SVC(C=C, rtol=rtol).fit(X, y)
+    return clf.coef_, clf.intercept_, clf.alpha_, clf.result_
 
 
 def main(n=200, C=1.0):
