@@ -82,6 +82,32 @@ def q1_elasticity_emat(dim: int, lam: float = 1.0, mu: float = 1.0) -> np.ndarra
     return K
 
 
+def q1_poisson_emat(dim: int) -> np.ndarray:
+    """Q1 Poisson element stiffness on the unit cube (lexicographic node
+    order, 2-point Gauss quadrature): K = sum_q w dN dN'.  For dim=3 this
+    reproduces the reference's hardcoded poiss_3D_emat table (ex71.c) to
+    machine precision; dim 1/2 generate the poiss_{1,2}D_emat analogs."""
+    import itertools
+
+    gp = np.array([-1.0, 1.0]) / np.sqrt(3.0) * 0.5 + 0.5
+    nodes = [tuple(reversed(t)) for t in itertools.product((0, 1), repeat=dim)]
+    nn = len(nodes)
+    K = np.zeros((nn, nn))
+    for q in itertools.product(range(2), repeat=dim):
+        x = np.array([gp[qi] for qi in q])
+        dN = np.zeros((nn, dim))
+        for a, nd in enumerate(nodes):
+            for d in range(dim):
+                prod = 1.0
+                for e in range(dim):
+                    val = x[e] if nd[e] == 1 else 1.0 - x[e]
+                    der = 1.0 if nd[e] == 1 else -1.0
+                    prod *= der if e == d else val
+                dN[a, d] = prod
+        K += (1.0 / 2**dim) * dN @ dN.T
+    return K
+
+
 # the reference's hardcoded Q1 element stiffness (lexicographic node order)
 POISS_3D_EMAT = np.array([
     [ 1/3,    0,     0,    -1/12,  0,    -1/12, -1/12, -1/12],
@@ -114,6 +140,11 @@ def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled", pde="pois
     from permon_tpu.feti import FetiProblem
     from permon_tpu.feti.assembly import decompose_rhs_by_multiplicity
 
+    # reference convention: cells[n] = 0 for n >= dim (ex71.c:149); accept
+    # 1-/2-tuples and pad so 2-D and 1-D variants (-dim 1/2) work too
+    cells = tuple(cells) + (0,) * (3 - len(cells))
+    grid = tuple(grid) + (1,) * (3 - len(grid))
+    dim = sum(1 for c in cells if c > 0)
     cx, cy, cz = cells
     m, n, p = grid
     Mx, My, Mz = cx + 1, cy + 1, cz + 1  # node counts
@@ -134,16 +165,20 @@ def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled", pde="pois
                 # (DMDAGetElements; first rank also takes cell 0, last rank
                 # ends at the domain boundary)
                 cxs = range(ox[im] - 1 if im > 0 else 0, ox[im + 1] - 1 if im < m - 1 else cx)
-                cys = range(oy[jn] - 1 if jn > 0 else 0, oy[jn + 1] - 1 if jn < n - 1 else cy)
-                czs = range(oz[kp] - 1 if kp > 0 else 0, oz[kp + 1] - 1 if kp < p - 1 else cz)
+                cys = (range(oy[jn] - 1 if jn > 0 else 0, oy[jn + 1] - 1 if jn < n - 1 else cy)
+                       if cy > 0 else range(1))
+                czs = (range(oz[kp] - 1 if kp > 0 else 0, oz[kp + 1] - 1 if kp < p - 1 else cz)
+                       if cz > 0 else range(1))
+                dzr = (0, 1) if cz > 0 else (0,)
+                dyr = (0, 1) if cy > 0 else (0,)
                 nodes = {}
                 cells_list = []
                 for kk in czs:
                     for jj in cys:
                         for ii in cxs:
                             corner = []
-                            for dz in (0, 1):
-                                for dy in (0, 1):
+                            for dz in dzr:
+                                for dy in dyr:
                                     for dx in (0, 1):
                                         g = gid(ii + dx, jj + dy, kk + dz)
                                         if g not in nodes:
@@ -152,8 +187,11 @@ def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled", pde="pois
                             cells_list.append(corner)
                 subs.append((nodes, cells_list))
 
-    dof = 3 if pde == "elasticity" else 1
-    emat = q1_elasticity_emat(3) if pde == "elasticity" else POISS_3D_EMAT
+    dof = dim if pde == "elasticity" else 1
+    if pde == "elasticity":
+        emat = q1_elasticity_emat(dim)
+    else:
+        emat = POISS_3D_EMAT if dim == 3 else q1_poisson_emat(dim)
     nn_max = max(len(nodes) for nodes, _ in subs)
     nl = nn_max * dof
     K = np.zeros((ns, nl, nl))

@@ -62,15 +62,23 @@ def cg(
             Ap = A.mv(p)
             pAp = jnp.vdot(p, Ap)
             a = wz / pAp
+            # breakdown handling a la PETSc KSPSolve_CG: a nonpositive or
+            # non-finite curvature means the (projected) residual has hit
+            # numerical zero (e.g. the coarse space spans the whole dual
+            # space so P = 0) — keep the current iterate and stop with
+            # CONVERGED_ATOL rather than polluting x with NaN
+            broke = jnp.logical_not(jnp.isfinite(a)) | (pAp <= 0.0)
+            a = jnp.where(broke, 0.0, a)
             x2 = x + a * p
             r2 = r - a * Ap
             w2 = P(r2)
             z2 = M(w2)
             y2 = P(z2) if precond is not None else z2
             wz2 = jnp.vdot(w2, y2)
-            beta = wz2 / wz
+            beta = jnp.where(broke, 0.0, wz2 / wz)
             p2 = y2 + beta * p
-            return x2, r2, w2, z2, p2, wz2, it + 1, reason, nmv + 1
+            reason2 = jnp.where(broke, jnp.int32(3), reason)
+            return x2, r2, w2, z2, p2, wz2, it + 1, reason2, nmv + 1
 
         return jax.lax.cond(reason == 0, step, lambda _: (x, r, w, z, p, wz, it, reason, nmv), None)
 

@@ -313,3 +313,55 @@ class TestContact:
 
         x, res, sol = main(ns=2, ne=20, view=False)
         assert np.isfinite(x).all()
+
+
+class TestEx71Dimensions:
+    """The reference ex71 supports -dim 1/2/3 at runtime (ex71.c:141-183);
+    the committed oracles are 3-D, so the 1-D/2-D variants are checked
+    against direct global solves."""
+
+    def _direct(self, prob):
+        n = prob.n_global
+        A = np.zeros((n, n))
+        b = np.zeros(n)
+        for s in range(prob.ns):
+            real = prob.l2g[s] >= 0
+            gi = prob.l2g[s][real]
+            A[np.ix_(gi, gi)] += prob.K_blocks[s][np.ix_(real, real)]
+            np.add.at(b, gi, prob.b_loc[s][real])
+        return np.linalg.solve(A, b)
+
+    def test_poisson_2d(self):
+        from examples.feti_ex71 import build
+
+        prob = build(cells=(8, 8), grid=(2, 2))
+        res = feti_solve(prob, FetiOptions(gluing="nonred"))
+        assert int(res.result.reason) > 0
+        np.testing.assert_allclose(res.x_global, self._direct(prob), atol=1e-4)
+
+    def test_elasticity_2d(self):
+        from examples.feti_ex71 import build
+
+        prob = build(cells=(6, 4), grid=(3, 1), pde="elasticity")
+        res = feti_solve(
+            prob, FetiOptions(gluing="nonred", nullspace="numeric"),
+            tol=Tolerances(rtol=1e-8),
+        )
+        assert int(res.result.reason) > 0
+        np.testing.assert_allclose(res.x_global, self._direct(prob), atol=1e-5)
+
+    def test_poisson_1d_degenerate_coarse(self):
+        """All dual unknowns determined by the coarse problem (P = 0): the
+        projected CG must stop on breakdown with the homogenized solution
+        instead of iterating on roundoff noise."""
+        from examples.feti_ex71 import build
+
+        prob = build(cells=(12,), grid=(3,))
+        res = feti_solve(prob, FetiOptions(gluing="nonred"))
+        assert int(res.result.reason) > 0
+        np.testing.assert_allclose(res.x_global, self._direct(prob), atol=1e-10)
+
+    def test_quadrature_reproduces_reference_3d_table(self):
+        from examples.feti_ex71 import POISS_3D_EMAT, q1_poisson_emat
+
+        np.testing.assert_allclose(q1_poisson_emat(3), POISS_3D_EMAT, atol=1e-14)
