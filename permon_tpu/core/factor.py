@@ -101,6 +101,35 @@ class BlockDiagCholInv(LinearOperator):
     rmv = mv
 
 
+@struct.dataclass
+class IterativeInv(LinearOperator):
+    """K+ as a nested CG solve — the MATINV fallback for matrix-free
+    operators where no factorization is available (the reference's
+    KSPCG+PCNONE cascade tail, matinv.c:535-540; tolerances via
+    MatInvSetTolerances).  ``mv`` runs a jitted CG to ``rtol``/``max_it`` —
+    usable anywhere a factorized inverse is (e.g. as the ``kplus`` of
+    ``dualize``), at the cost of a matvec per inner iteration."""
+
+    a: Any  # the (SPD) operator to invert
+    rtol: float = struct.field(pytree_node=False, default=1e-10)
+    max_it: int = struct.field(pytree_node=False, default=1000)
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    def mv(self, x):
+        from ..qp.qp import QP
+        from ..solvers.cg import cg
+
+        from .convergence import Tolerances
+
+        res = cg(QP(A=self.a, b=x), tol=Tolerances(rtol=self.rtol, max_it=self.max_it))
+        return res.x
+
+    rmv = mv
+
+
 def nullspace_projector_dense(R: jax.Array) -> jax.Array:
     """Q = R (R'R)^{-1} R' — orthogonal projector onto span(R)."""
     RtR = R.T @ R

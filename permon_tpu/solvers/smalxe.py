@@ -27,6 +27,12 @@ Faithfully mirrored semantics (these determine iteration-count parity):
 - multiplier update Btmu += rho_used * B'Bu before each inner solve and once
   after the loop (QPSSMALXEUpdateLambda_SMALXE + loop structure,
   smalxe.c:957-997),
+
+Intentionally NOT ported: the lagged ||Bu|| update
+(-qps_smalxe_norm_update_lag*, smalxe.c:288-370) exists to amortize an MPI
+Allreduce per inner iteration; on TPU the norm is a fused on-chip reduction
+inside the jitted loop (no host round-trip), so the exact update is free and
+the lag would only degrade the convergence control.
 - defaults M1 = 1e2*||A||, eta = 1e-1*||b||, rho = 1.1*||A||, M1_update 2,
   rho_update 1, rho_update_late 2, rtol_E 1 (smalxe.c:1159-1186).
 """

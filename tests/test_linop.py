@@ -120,3 +120,37 @@ class TestThroughputModes:
         lam = jnp.asarray(rng.rand(m))
         np.testing.assert_allclose(np.asarray(Bd.mv(u)), np.asarray(B.mv(u)), atol=1e-12)
         np.testing.assert_allclose(np.asarray(Bd.rmv(lam)), np.asarray(B.rmv(lam)), atol=1e-12)
+
+
+class TestIterativeInv:
+    """MATINV's CG fallback for matrix-free operators (matinv.c:535-540)."""
+
+    def test_matches_direct_inverse(self):
+        from permon_tpu.core.factor import CholInv, IterativeInv
+
+        rng = np.random.RandomState(8)
+        M = rng.rand(12, 12)
+        A = M @ M.T + 12 * np.eye(12)
+        op = pt.Dense.create(jnp.asarray(A))
+        x = jnp.asarray(rng.rand(12))
+        y_it = np.asarray(IterativeInv(a=op, rtol=1e-12).mv(x))
+        y_dir = np.asarray(CholInv.from_dense(jnp.asarray(A)).mv(x))
+        np.testing.assert_allclose(y_it, y_dir, atol=1e-9)
+
+    def test_usable_as_kplus_in_dualize(self):
+        from permon_tpu.core.factor import IterativeInv
+        from permon_tpu.qp.transforms import Solution, feti_prepare
+
+        rng = np.random.default_rng(13)
+        n = 14
+        M = rng.standard_normal((n, n))
+        A = M @ M.T + n * np.eye(n)
+        b = rng.standard_normal(n)
+        BE = rng.standard_normal((2, n))
+        qp = pt.QP.create(A, b, BE=BE, cE=np.zeros(2))
+        kplus = IterativeInv(a=pt.Dense.create(jnp.asarray(A)), rtol=1e-12)
+        child, post = feti_prepare(qp, kplus=kplus)
+        sol = post(Solution(x=pt.solve(child).x))
+        kkt = np.block([[A, BE.T], [BE, np.zeros((2, 2))]])
+        xs = np.linalg.solve(kkt, np.concatenate([b, np.zeros(2)]))
+        np.testing.assert_allclose(np.asarray(sol.x), xs[:n], atol=1e-5)
