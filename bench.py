@@ -178,6 +178,22 @@ def main():
             f"({ndof} dofs, m={qp71.BE.shape[0]}) {per_f * 1e3:.2f} ms/apply",
             file=sys.stderr,
         )
+
+        # leaf-space dual apply (permon_tpu/feti/leaf.py): the whole F
+        # application with a single static partner gather as index work
+        from permon_tpu.feti.leaf import LeafDualOperator
+
+        op_leaf = LeafDualOperator.create(BE32, kplus)
+        Lam0 = jnp.ones(BE32.vals.shape, dtype=jnp.float32)
+        per_l = _marginal_mv_time(
+            lambda v: (lambda w: w / (jnp.linalg.norm(w) + 1e-30))(op_leaf.apply(v)),
+            Lam0, lo=100, hi=300,
+        )
+        print(
+            f"secondary: feti_dual_apply_leaf {per_l * 1e3:.2f} ms/apply "
+            f"({per_f / per_l:.1f}x vs row-space)",
+            file=sys.stderr,
+        )
     except Exception as e:  # keep the headline metric robust
         print(f"secondary: feti bench skipped ({type(e).__name__}: {e})", file=sys.stderr)
 
