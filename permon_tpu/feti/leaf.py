@@ -130,15 +130,42 @@ class LeafDualOperator:
         return self.space.combine(contrib)
 
 
+@struct.dataclass
+class LeafProjector:
+    """Coarse projector P = I - G'(GG')^{-1}G lifted to leaf space: G's rows
+    are stored as consistent leaf arrays and contracted with the
+    multiplicity-weighted dot, so applying P is two small einsums and a
+    coarse triangular solve — no row-space round trip."""
+
+    Gl: jax.Array       # (kc, ns, k) lifted G rows
+    chol: jax.Array     # (kc, kc) Cholesky of GG'
+    weights: jax.Array  # (ns, k)
+
+    @classmethod
+    def create(cls, space: LeafDualSpace, G: LinearOperator,
+               ggt_chol=None) -> "LeafProjector":
+        from ..qp.projector import dense_rows
+
+        Gd = dense_rows(G)
+        Gl = jax.vmap(space.lift)(Gd)
+        chol = jnp.linalg.cholesky(Gd @ Gd.T) if ggt_chol is None else ggt_chol
+        return cls(Gl=Gl, chol=chol, weights=space.weights)
+
+    def __call__(self, Lam: jax.Array) -> jax.Array:
+        y = jnp.einsum("cst,st->c", self.Gl * self.weights, Lam)
+        z = jax.scipy.linalg.cho_solve((self.chol, True), y)
+        return Lam - jnp.einsum("cst,c->st", self.Gl, z)
+
+
 def leaf_cg(
     op: LeafDualOperator,
     B_leaf: jax.Array,
     tol: Tolerances = Tolerances(),
     project=None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(Projected) CG entirely in leaf space: returns (Lam, iterations,
-    rnorm).  ``project`` (if given) maps consistent leaf arrays to
-    consistent leaf arrays (e.g. the coarse projector lifted to leaves).
+):
+    """(Projected) CG entirely in leaf space: returns a CGResult whose ``x``
+    is the (ns, k) leaf array.  ``project`` (if given) maps consistent leaf
+    arrays to consistent leaf arrays (e.g. :class:`LeafProjector`).
     Mathematically identical to row-space CG — the weighted dot makes every
     recurrence coefficient equal its row-space counterpart."""
     sp = op.space
@@ -174,4 +201,6 @@ def leaf_cg(
     r0 = P(B_leaf)
     carry0 = (jnp.zeros_like(B_leaf), r0, r0, sp.dot(r0, r0), jnp.int32(0), jnp.int32(0))
     x, r, p, rr, it, reason = jax.lax.while_loop(lambda c: c[5] == 0, body, carry0)
-    return x, it, jnp.sqrt(rr)
+    from ..solvers.cg import CGResult
+
+    return CGResult(x=x, reason=reason, iterations=it, rnorm=jnp.sqrt(rr), nmv=it + 1)

@@ -264,9 +264,24 @@ def _feti_solve_impl(
         cur, post_p = enforce_eq_by_projector(cur)
         steps.append((cur, post_p))
         if cur.box is None and cur.BE is None:
-            # eq-only: projected CG (the reference picks KSP/PCPG here)
-            project = pf_holder.pf.apply_p if precond is not None else None
-            res = cg(cur, tol=tol, precond=precond, project=project)
+            if opts.throughput and precond is None:
+                # leaf-space projected CG (feti/leaf.py): the whole dual
+                # iteration in the redundant (ns, k) representation — a
+                # single static partner gather of index work per F apply
+                from .leaf import LeafDualOperator, LeafProjector, leaf_cg
+
+                op_leaf = LeafDualOperator.create(qp.BE, kplus)
+                spl = op_leaf.space
+                ggt_chol = pf_holder.pf.ggt_chol
+                if ggt_chol is None:  # orthonormal rows: GG' = I
+                    ggt_chol = jnp.eye(pf_holder.BE.shape[0], dtype=qp.b.dtype)
+                P = LeafProjector.create(spl, pf_holder.BE, ggt_chol=ggt_chol)
+                res_leaf = leaf_cg(op_leaf, P(spl.lift(cur.b)), tol=tol, project=P)
+                res = res_leaf.replace(x=spl.restrict(res_leaf.x))
+            else:
+                # eq-only: projected CG (the reference picks KSP/PCPG here)
+                project = pf_holder.pf.apply_p if precond is not None else None
+                res = cg(cur, tol=tol, precond=precond, project=project)
         else:
             # box constraints survive (contact): SMALXE on the projected QP
             res = smalxe(cur, opts=opts.smalxe, tol=tol)

@@ -91,8 +91,8 @@ class TestLeafCG:
             return Lam - jnp.einsum("cst,c->st", Gl, z)
 
         B_leaf = P(sp_.lift(cur.b))
-        Lam, its, rnorm = leaf_cg(op, B_leaf, tol=Tolerances(), project=P)
-        lam = sp_.restrict(Lam)
+        res_leaf = leaf_cg(op, B_leaf, tol=Tolerances(), project=P)
+        lam = sp_.restrict(res_leaf.x)
         # fold back through the full post-solve chain (the projector post
         # supplies Bt_lambda, from which dualize recovers the rigid-body
         # amplitudes alpha)
