@@ -156,3 +156,43 @@ int64_t permon_csr_to_ell(const int64_t* indptr, const int64_t* indices,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Build the leaf-space partner map (permon_tpu/feti/leaf.py): for each
+// (subdomain, slot) leaf of the batched extension triplets, the flat indices
+// of the other leaves sharing its dual row, padded with nleaf (a zero slot).
+// Call with partners == null to query deg_max; then with a buffer of size
+// (deg_max - 1) * nleaf.  weights receives 1/deg at real leaves, 0 at pads.
+int64_t permon_leaf_partners(const int32_t* rows, const double* vals,
+                             int64_t ns, int64_t k, int64_t m,
+                             int32_t* partners, double* weights) {
+  int64_t nleaf = ns * k;
+  std::vector<int64_t> mult(m, 0), offs(m + 1, 0), fill(m, 0);
+  for (int64_t i = 0; i < nleaf; ++i)
+    if (rows[i] != (int32_t)m && vals[i] != 0.0) mult[rows[i]]++;
+  int64_t deg_max = 1;
+  for (int64_t r = 0; r < m; ++r) deg_max = std::max(deg_max, mult[r]);
+  if (!partners) return deg_max;
+  for (int64_t r = 0; r < m; ++r) offs[r + 1] = offs[r] + mult[r];
+  std::vector<int64_t> leaves(offs[m]);
+  for (int64_t i = 0; i < nleaf; ++i)
+    if (rows[i] != (int32_t)m && vals[i] != 0.0)
+      leaves[offs[rows[i]] + fill[rows[i]]++] = i;
+  for (int64_t d = 0; d < deg_max - 1; ++d)
+    for (int64_t i = 0; i < nleaf; ++i) partners[d * nleaf + i] = (int32_t)nleaf;
+  for (int64_t i = 0; i < nleaf; ++i) weights[i] = 0.0;
+  for (int64_t r = 0; r < m; ++r) {
+    int64_t d = mult[r];
+    const int64_t* idx = &leaves[offs[r]];
+    for (int64_t a = 0; a < d; ++a) {
+      weights[idx[a]] = 1.0 / (double)d;
+      int64_t w = 0;
+      for (int64_t b = 0; b < d; ++b)
+        if (b != a) partners[(w++) * nleaf + idx[a]] = (int32_t)idx[b];
+    }
+  }
+  return deg_max;
+}
+
+}  // extern "C"

@@ -54,6 +54,17 @@ class LeafDualSpace:
         vals = np.asarray(B.vals)
         ns, k = rows.shape
         nleaf = ns * k
+        # native C++ builder for large setups (utils/native.py), python
+        # reference fallback below
+        from ..utils.native import leaf_partners_native
+
+        packed = leaf_partners_native(rows, vals, B.m_dual)
+        if packed is not None:
+            partners, weights = packed
+            return cls(
+                rows=B.rows, partners=jnp.asarray(partners),
+                weights=jnp.asarray(weights), m_dual=B.m_dual,
+            )
         flat_rows = rows.reshape(-1)
         flat_vals = vals.reshape(-1)
         bucket: dict = {}

@@ -69,6 +69,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.permon_csr_to_ell.restype = ctypes.c_int64
     lib.permon_csr_to_ell.argtypes = [i64p, i64p, f64p, ctypes.c_int64, i32p, f64p]
+    lib.permon_leaf_partners.restype = ctypes.c_int64
+    lib.permon_leaf_partners.argtypes = [
+        i32p, f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, f64p,
+    ]
     _lib = lib
     return _lib
 
@@ -148,3 +152,27 @@ def csr_to_ell_native(a):
         _ptr(vals, ctypes.c_double),
     )
     return cols, vals
+
+
+def leaf_partners_native(rows: np.ndarray, vals: np.ndarray, m: int):
+    """Native leaf-space partner map (feti/leaf.py setup); returns
+    (partners (deg_max-1, ns*k) int32, weights (ns, k)) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    ns, k = rows.shape
+    deg_max = int(lib.permon_leaf_partners(
+        _ptr(rows, ctypes.c_int32), _ptr(vals, ctypes.c_double),
+        ns, k, m, None, None,
+    ))
+    # allocate at least one partner row: the C entry point early-returns on a
+    # null partners pointer (query mode) and would leave weights unfilled
+    partners = np.empty((max(deg_max - 1, 1), ns * k), dtype=np.int32)
+    weights = np.empty(ns * k, dtype=np.float64)
+    lib.permon_leaf_partners(
+        _ptr(rows, ctypes.c_int32), _ptr(vals, ctypes.c_double), ns, k, m,
+        _ptr(partners, ctypes.c_int32), _ptr(weights, ctypes.c_double),
+    )
+    return partners[: deg_max - 1], weights.reshape(ns, k)

@@ -94,3 +94,37 @@ class TestNative:
                 dense[r[s, j], s * nl + c[s, j]] += v[s, j]
         ref = sp.coo_matrix((vals, (rows, cols)), shape=(m, ns * nl)).toarray()
         np.testing.assert_allclose(dense[:m], ref, atol=1e-15)
+
+
+class TestLeafPartnersNative:
+    def test_matches_python_fallback(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from examples.feti_ex1 import build
+        from permon_tpu.feti import FetiOptions
+        from permon_tpu.feti.leaf import LeafDualSpace
+        from permon_tpu.feti.solve import assemble_qp
+        from permon_tpu.utils import native as nat
+
+        prob = build(4, 7)
+        qp, *_ = assemble_qp(prob, FetiOptions(gluing="full"))
+        B = qp.BE
+        packed = nat.leaf_partners_native(np.asarray(B.rows), np.asarray(B.vals), B.m_dual)
+        if packed is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        partners_n, weights_n = packed
+        # python fallback (force by monkeypatching)
+        orig = nat.leaf_partners_native
+        try:
+            nat.leaf_partners_native = lambda *a, **k: None
+            sp_py = LeafDualSpace.build(B)
+        finally:
+            nat.leaf_partners_native = orig
+        np.testing.assert_allclose(weights_n, np.asarray(sp_py.weights), atol=1e-15)
+        # partner SETS per leaf must match (order within a row may differ)
+        pn = np.sort(partners_n, axis=0)
+        pp = np.sort(np.asarray(sp_py.partners), axis=0)
+        np.testing.assert_array_equal(pn, pp)
