@@ -105,3 +105,58 @@ class TestShardMapDualApply:
         y_auto = np.asarray(jax.jit(F_auto.mv)(lam))
         y_sm = np.asarray(jax.jit(apply_sm)(lam))
         np.testing.assert_allclose(y_sm, y_auto, atol=1e-10)
+
+
+class TestLeafSpaceSharded:
+    """Leaf-space dual apply and CG under GSPMD sharding of the (ns, k)
+    leaf arrays over the subdomain axis."""
+
+    def test_sharded_leaf_apply_matches_single(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from examples.feti_ex1 import build
+        from permon_tpu.feti import FetiOptions
+        from permon_tpu.feti.leaf import LeafDualOperator
+        from permon_tpu.feti.solve import assemble_qp, make_blockdiag_kplus
+        from permon_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8)
+        prob = build(8, 5)
+        qp, Kb, fixed, nb = assemble_qp(prob, FetiOptions(gluing="nonred"))
+        kplus = make_blockdiag_kplus(Kb, fixed, prob, nb)
+        op = LeafDualOperator.create(qp.BE, kplus)
+
+        Lam = jnp.asarray(np.random.default_rng(0).standard_normal(
+            op.space.rows.shape))
+        ref = np.asarray(op.apply(Lam))
+
+        sd = lambda *spec: NamedSharding(mesh, P(*spec))
+        op_sh = op.replace(
+            blk=jax.device_put(op.blk, sd("sd", None, None)),
+            invs=jax.device_put(op.invs, sd("sd", None, None)),
+            space=op.space.replace(
+                rows=jax.device_put(op.space.rows, sd("sd", None)),
+                weights=jax.device_put(op.space.weights, sd("sd", None)),
+                partners=jax.device_put(op.space.partners, sd()),
+            ),
+        )
+        Lam_sh = jax.device_put(Lam, sd("sd", None))
+        out = np.asarray(jax.jit(op_sh.apply)(Lam_sh))
+        np.testing.assert_allclose(out, ref, atol=1e-12)
+
+    def test_sharded_leaf_cg_matches_feti_solve(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from examples.feti_ex1 import build
+        from permon_tpu.feti import FetiOptions, feti_solve
+        from permon_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8)
+        prob = build(8, 5)
+        res_ref = feti_solve(prob, FetiOptions(gluing="nonred"))
+        res_thr = feti_solve(prob, FetiOptions(gluing="nonred", throughput=True))
+        np.testing.assert_allclose(res_thr.x_global, res_ref.x_global, atol=1e-9)
