@@ -54,6 +54,12 @@ def main(ns=4, ne=7, project=True, view=True, **kw):
     if view:
         print(view_convergence(res.result))
         print(view_kkt(res.qp, res.u_decomposed, lambda_E=res.solution.lambda_E))
+        from permon_tpu.core.convergence import REASON_NAMES
+
+        print(
+            f"PERMON FETI {REASON_NAMES[int(res.result.reason)]} in "
+            f"{int(res.result.iterations)} iteration"
+        )  # the reference example's closing line (feti/ex1.c:99)
     return prob, res
 
 

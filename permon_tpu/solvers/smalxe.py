@@ -76,6 +76,9 @@ class SMALXEOptions:
     inner: MPRGPOptions = MPRGPOptions()
     inner_max_it: int = 10000
     monitor: bool = False
+    #: per-outer-iteration Lagrangian/update report (the reference's
+    #: -qps_smalxe_monitor_outer block, smalxe.c:453-461)
+    monitor_outer: bool = False
 
 
 @struct.dataclass
@@ -349,6 +352,20 @@ def smalxe(
         Lag = lagrangian(u, b_inner, c["rho"])
         t = 0.5 * c["rho"] * aux.normBu**2
         lag_flag = (Lag - (c["Lag_old"] + t)) < opts.update_threshold
+        if opts.monitor_outer:
+            import jax as _jax
+
+            _jax.debug.print(
+                "END   outer {it:>3}:  L={L:+.10e}  L-L_old={d1:+.3e}  "
+                "L-(L_old+1/2*rho*||Bu||^2)={d2:+.3e} (flag={f})  "
+                "1/2*rho*||Bu||^2={t:.3e}\n"
+                "          max(G,E)={rn:.8e} ttol_outer={tt:.8e}  |  "
+                "G={g:.8e} min(M1||Bu||,eta)={ia:.8e}  |  gtol={gt:.8e}",
+                it=it, L=Lag, d1=Lag - c["Lag_old"],
+                d2=Lag - (c["Lag_old"] + t), f=lag_flag, t=t,
+                rn=aux.outer_rnorm, tt=aux.ttol_outer, g=res.rnorm,
+                ia=jnp.minimum(aux.MNormBu, eta), gt=aux.gtol,
+            )
         m1_do = lag_flag & (opts.M1_update != 1.0) & (res.reason == ConvergedReason.CONVERGED_ATOL)
         M1 = jnp.where(m1_do, c["M1"] / opts.M1_update, c["M1"])
 
