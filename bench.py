@@ -170,7 +170,7 @@ def main():
         F = Product((BE32, kplus, Transpose(BE32)))
         lam0 = jnp.ones(qp71.BE.shape[0], dtype=jnp.float32)
         per_f = _marginal_mv_time(
-            lambda v: F.mv(v) / jnp.linalg.norm(F.mv(v)), lam0, lo=10, hi=30
+            lambda v: F.mv(v) / jnp.linalg.norm(F.mv(v)), lam0, lo=50, hi=150
         )
         ndof = prob.ns * prob.nl
         print(
@@ -192,6 +192,40 @@ def main():
         print(
             f"secondary: feti_dual_apply_leaf {per_l * 1e3:.2f} ms/apply "
             f"({per_f / per_l:.1f}x vs row-space)",
+            file=sys.stderr,
+        )
+
+        # end-to-end projected dual solve in leaf space (fixed 25-iteration
+        # budget; the whole CG is one executable)
+        from permon_tpu.core.convergence import Tolerances
+        from permon_tpu.feti.leaf import LeafProjector, leaf_cg
+        from permon_tpu.qp.transforms import dualize, ensure_pf, homogenize_eq
+
+        dual, _ = dualize(qp71.replace(BE=BE32), kplus=kplus)
+        dual = ensure_pf(dual)
+        cur, _ = homogenize_eq(dual)
+        Pl = LeafProjector.create(
+            op_leaf.space, dual.BE,
+            ggt_chol=dual.pf.ggt_chol if dual.pf.ggt_chol is not None else None,
+        )
+        Pl = Pl.replace(  # f32 throughput path (everything else is f32)
+            Gl=Pl.Gl.astype(jnp.float32), chol=Pl.chol.astype(jnp.float32),
+            weights=Pl.weights.astype(jnp.float32),
+        )
+        Bl = Pl(op_leaf.space.lift(cur.b.astype(jnp.float32)))
+
+        @jax.jit
+        def solve_leaf(Bl):
+            return leaf_cg(op_leaf, Bl, tol=Tolerances(rtol=0.0, max_it=25),
+                           project=Pl).x
+
+        _ = float(jnp.sum(solve_leaf(Bl)))
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(solve_leaf(Bl * 1.000001)))
+        t_solve = time.perf_counter() - t0
+        print(
+            f"secondary: feti_leaf_solve 25 its in {t_solve * 1e3:.1f} ms "
+            f"(incl. dispatch RTT)",
             file=sys.stderr,
         )
     except Exception as e:  # keep the headline metric robust

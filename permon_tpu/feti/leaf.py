@@ -97,7 +97,7 @@ class LeafDualSpace:
         leaves agree, so a weighted scatter-mean is exact)."""
         out = jnp.zeros(self.m_dual + 1, Lam.dtype)
         out = out.at[self.rows.reshape(-1)].add(
-            (Lam * self.weights).reshape(-1)
+            (Lam * self.weights.astype(Lam.dtype)).reshape(-1)
         )
         return out[: self.m_dual]
 
@@ -113,7 +113,7 @@ class LeafDualSpace:
 
     def dot(self, X: jax.Array, Y: jax.Array) -> jax.Array:
         """<x, y> of the dual vectors the leaf arrays represent."""
-        return jnp.sum(X * Y * self.weights)
+        return jnp.sum(X * Y * self.weights.astype(X.dtype))
 
     def norm(self, X: jax.Array) -> jax.Array:
         return jnp.sqrt(self.dot(X, X))
