@@ -51,7 +51,6 @@ def build(ns: int = 4, ne: int = 25):
         l2g[s] = s * ne + np.arange(nl)
     b[0, 0] = 0.0
     b[-1, -1] = 0.0  # Dirichlet nodes carry no load in ex1
-    owner_seen = np.zeros(n, dtype=bool)
     b = decompose_rhs_by_multiplicity(b, l2g)
     dirichlet = np.array([0, n - 1])
     prob = FetiProblem(K_blocks=K, b_loc=b, l2g=l2g, dirichlet=dirichlet)
@@ -59,7 +58,7 @@ def build(ns: int = 4, ne: int = 25):
     # obstacle on interior nodes: -u_g <= -lb_g on the first owning copy
     lb = np.sin(4 * np.pi * np.arange(n) * h - np.pi / 6.0) / 2 - 2
     rows, cols, vals, cI = [], [], [], []
-    owner_seen[:] = False
+    owner_seen = np.zeros(n, dtype=bool)  # first owning copy gets the row
     mI = 0
     for s in range(ns):
         for i in range(nl):

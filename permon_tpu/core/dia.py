@@ -123,6 +123,14 @@ def _dia_mv_pallas(data, x, offsets, tr: int = 512, interpret: bool = False):
 
     n = x.shape[0]
     ndiag = data.shape[0]
+    if x.dtype != jnp.float32:
+        # the kernel accumulates in f32 (the documented f32-only throughput
+        # contract); silently downcasting f64 inputs would return f32-accuracy
+        # results in a library that enables x64 at import
+        raise TypeError(
+            f"Dia(use_pallas=True) is f32-only, got {x.dtype}; use the XLA "
+            "path (use_pallas=False) for f64 parity solves"
+        )
     if n % 128:  # pad up to a lane multiple (host-side setup cost only)
         npad = ((n + 127) // 128) * 128
         x = jnp.zeros(npad, x.dtype).at[:n].set(x)

@@ -93,8 +93,8 @@ class LeafDualSpace:
         return lam_pad[self.rows]
 
     def restrict(self, Lam: jax.Array) -> jax.Array:
-        """Consistent leaf array -> m-vector (pick the max-weight copy —
-        leaves agree, so a weighted scatter-mean is exact)."""
+        """Consistent leaf array -> m-vector as a multiplicity-weighted
+        scatter-mean (exact because all leaves of one row agree)."""
         out = jnp.zeros(self.m_dual + 1, Lam.dtype)
         out = out.at[self.rows.reshape(-1)].add(
             (Lam * self.weights.astype(Lam.dtype)).reshape(-1)

@@ -77,7 +77,8 @@ def ensure_pf(qp: QP, orthonormal_rows: bool = False) -> QP:
 
 
 def dualize(
-    qp: QP, regularize: bool = True, kplus=None, kplus_mode: str = "plain"
+    qp: QP, regularize: bool = True, kplus=None, kplus_mode: str = "plain",
+    pf=None,
 ) -> Tuple[QP, PostSolve]:
     """Build the dual QP  min 1/2 l'Fl - d'l  s.t. G l = e, l_I >= 0 with
     F = B K+ B', d = B K+ b - c, G = R'B', e = R'b  (QPTDualize,
@@ -91,6 +92,10 @@ def dualize(
     1019-1087): 'left' composes K+ <- P_R K+ (left generalized inverse,
     output projected onto im K = ker R'), 'mp' the symmetric P_R K+ P_R
     (Moore-Penrose when K+ is any generalized inverse); 'plain' keeps K+.
+
+    ``pf`` supplies an already-factorized coarse projector for the dual G
+    (the QPReusedCP path, feti_prepare_reuse_cp): when given, the fresh
+    GG' factorization is skipped entirely.
     """
     assert qp.BE is not None or qp.BI is not None, "dualize needs linear constraints"
     assert kplus_mode in ("plain", "left", "mp"), kplus_mode
@@ -141,7 +146,7 @@ def dualize(
         A=F, b=d, x0=jnp.zeros(m, dtype=b.dtype), box=box,
         BE=G, cE=e, BI=None, cI=None, R=None,
     )
-    child = ensure_pf(child)
+    child = child.replace(pf=pf) if pf is not None else ensure_pf(child)
 
     def post(sol: Solution) -> Solution:
         lam = sol.x
@@ -464,7 +469,12 @@ def feti_prepare(qp: QP, kplus=None, regularize: bool = True) -> Tuple[QP, PostS
     return all_in_one(qp, dual=True, project=True, regularize=regularize, kplus=kplus)
 
 
+#: key -> (pf, keyed_leaves).  The keyed array leaves are held STRONGLY in
+#: the entry so CPython cannot recycle their id()s while the entry lives
+#: (an id()-only key could silently match a *different* later G); the size
+#: bound keeps long-running sessions from accumulating stale factorizations.
 _REUSE_CP_CACHE: dict = {}
+_REUSE_CP_CACHE_MAX = 16
 
 
 def feti_prepare_reuse_cp(qp: QP, kplus=None, regularize: bool = True,
@@ -479,16 +489,17 @@ def feti_prepare_reuse_cp(qp: QP, kplus=None, regularize: bool = True,
     # that persist across qp.replace(b=...) in the time-stepping use case
     # (the reference reuses its static QPReusedCP exactly when the caller's
     # G — determined by BE and R — is unchanged)
-    key = tuple(
-        id(leaf) for leaf in jax.tree_util.tree_leaves((qp.BE, qp.BI, qp.R))
-    )
-    dual, post_d = dualize(qp, regularize=regularize, kplus=kplus)
-    pf = _cache.get(key)
+    leaves = jax.tree_util.tree_leaves((qp.BE, qp.BI, qp.R))
+    key = tuple(id(leaf) for leaf in leaves)
+    entry = _cache.get(key)
+    pf = entry[0] if entry is not None else None
+    # thread the cached pf into dualize so the GG' refactorization is
+    # actually skipped (not recomputed and discarded)
+    dual, post_d = dualize(qp, regularize=regularize, kplus=kplus, pf=pf)
     if pf is None and dual.BE is not None:
-        dual = ensure_pf(dual)
-        _cache[key] = dual.pf
-    elif pf is not None:
-        dual = dual.replace(pf=pf)
+        _cache[key] = (dual.pf, leaves)
+        while len(_cache) > _REUSE_CP_CACHE_MAX:
+            _cache.pop(next(iter(_cache)))
     steps = [(dual, post_d)]
     cur = dual
     if cur.cE is not None:
