@@ -100,6 +100,26 @@ def main():
     )
     gnnzs = max(gnnzs_dia, gnnzs_pal)
 
+    # unstructured SpMV: the same Laplacian RCM-reordered — row-varying
+    # column offsets defeat the DIA format (ndiag explodes), exactly the
+    # shape of a real unstructured-mesh FEM matrix; SELL (core/sell.py) is
+    # the gather-scheduled Pallas kernel make_operator picks for it
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    from permon_tpu.core.sell import SEll
+
+    perm = reverse_cuthill_mckee(a, symmetric_mode=True)
+    ar = (a[perm][:, perm] / 12.0).tocsr()
+    rep = {}
+    sell = SEll.from_scipy(ar, symmetric=True, report=rep)
+    sell = sell.replace(V=sell.V.astype(jnp.float32))
+    per_s = _marginal_mv_time(sell.mv, x0, lo=300, hi=900)
+    gnnzs_sell = nnz / per_s / 1e9
+    print(
+        f"secondary: sell/unstructured {gnnzs_sell:.1f} GnnZ/s "
+        f"({per_s * 1e6:.1f} us/mv, slot efficiency {rep['efficiency']:.2f})",
+        file=sys.stderr,
+    )
+
     # secondary: fully-jitted MPRGP solve on the ex1 obstacle problem
     # (fixed 500-iteration budget, whole solve = one XLA executable); the
     # tridiagonal Hessian uses the DIA production format via make_operator
@@ -258,6 +278,7 @@ def main():
                 "secondary": {
                     "dia_xla_gnnzs": round(gnnzs_dia, 3),
                     "dia_pallas_gnnzs": round(gnnzs_pal, 3),
+                    "sell_unstructured_gnnzs": round(gnnzs_sell, 3),
                     **mprgp_metrics,
                     **feti,
                 },

@@ -157,7 +157,106 @@ int64_t permon_csr_to_ell(const int64_t* indptr, const int64_t* indices,
 
 }  // extern "C"
 
+#include <bitset>
+#include <unordered_map>
+
+namespace {
+
+// Greedy SELL round scheduler state (permon_tpu/core/sell.py): one round =
+// one (8,128) output tile pass against one 1024-element window of x.
+// Constraints per round: one nonzero per output slot (i,j); a single
+// consistent sublane-select S[i,c] per (sublane, lane) pair.
+struct SellRound {
+  int32_t tile, win;
+  int8_t S[1024];              // (i, c) -> sublane in window, -1 = unset
+  std::bitset<1024> used;      // (i, j) slot occupancy
+};
+
+// Run the greedy assignment; fills per-nnz round ids and the round list.
+void sell_greedy(const int64_t* indptr, const int64_t* indices, int64_t m,
+                 int64_t ntiles, std::vector<int32_t>& assign,
+                 std::vector<SellRound>& rounds) {
+  assign.assign(indptr[m], -1);
+  rounds.clear();
+  for (int64_t t = 0; t < ntiles; ++t) {
+    size_t tile_first = rounds.size();
+    std::unordered_map<int64_t, std::vector<int32_t>> per_w;
+    int64_t g_lo = t * 1024, g_hi = std::min(m, (t + 1) * 1024);
+    for (int64_t g = g_lo; g < g_hi; ++g) {
+      int64_t rloc = g - g_lo;
+      int i = (int)(rloc / 128), j = (int)(rloc % 128);
+      for (int64_t p = indptr[g]; p < indptr[g + 1]; ++p) {
+        int64_t col = indices[p];
+        int64_t w = col / 1024;
+        int s = (int)((col % 1024) / 128), c = (int)(col % 128);
+        int32_t rid = -1;
+        for (int32_t cand : per_w[w]) {
+          SellRound& R = rounds[cand];
+          if (R.used[i * 128 + j]) continue;
+          int8_t cur = R.S[i * 128 + c];
+          if (cur == -1 || cur == (int8_t)s) { rid = cand; break; }
+        }
+        if (rid < 0) {
+          rid = (int32_t)rounds.size();
+          rounds.emplace_back();
+          SellRound& R = rounds.back();
+          R.tile = (int32_t)t;
+          R.win = (int32_t)w;
+          std::memset(R.S, -1, sizeof(R.S));
+          per_w[w].push_back(rid);
+        }
+        SellRound& R = rounds[rid];
+        R.S[i * 128 + c] = (int8_t)s;
+        R.used[i * 128 + j] = true;
+        assign[p] = rid;
+      }
+    }
+    if (rounds.size() == tile_first) {  // tile with no nonzeros: zero round
+      rounds.emplace_back();
+      SellRound& R = rounds.back();
+      R.tile = (int32_t)t;
+      R.win = 0;
+      std::memset(R.S, -1, sizeof(R.S));
+    }
+  }
+}
+
+}  // namespace
+
 extern "C" {
+
+// SELL round schedule (permon_tpu/core/sell.py). Call with null outputs to
+// query the round count nr, then with buffers wstart (nr), tid (nr),
+// S/C (nr,8,128) int32, V (nr,8,128) double.
+int64_t permon_sell_schedule(const int64_t* indptr, const int64_t* indices,
+                             const double* data, int64_t m, int64_t ntiles,
+                             int32_t* wstart, int32_t* tid, int32_t* S,
+                             int32_t* C, double* V) {
+  std::vector<int32_t> assign;
+  std::vector<SellRound> rounds;
+  sell_greedy(indptr, indices, m, ntiles, assign, rounds);
+  int64_t nr = (int64_t)rounds.size();
+  if (!wstart) return nr;
+  for (int64_t r = 0; r < nr; ++r) {
+    wstart[r] = rounds[r].win * 8;
+    tid[r] = rounds[r].tile;
+    for (int64_t q = 0; q < 1024; ++q) {
+      int8_t s = rounds[r].S[q];
+      S[r * 1024 + q] = s < 0 ? 0 : (int32_t)s;
+      C[r * 1024 + q] = 0;
+      V[r * 1024 + q] = 0.0;
+    }
+  }
+  for (int64_t g = 0; g < m; ++g) {
+    int64_t slot = g % 1024;  // (i*128 + j) with i = rloc/128, j = rloc%128
+    for (int64_t p = indptr[g]; p < indptr[g + 1]; ++p) {
+      int64_t r = assign[p];
+      C[r * 1024 + slot] = (int32_t)(indices[p] % 128);
+      V[r * 1024 + slot] = data[p];
+    }
+  }
+  return nr;
+}
 
 // Build the leaf-space partner map (permon_tpu/feti/leaf.py): for each
 // (subdomain, slot) leaf of the batched extension triplets, the flat indices

@@ -1,0 +1,337 @@
+"""Scale-capable K+ — batched blocked band Cholesky (the large-subdomain
+MATINV path).
+
+The reference factorizes large sparse subdomain stiffness matrices with
+MUMPS/PaStiX per rank (reference: src/mat/impls/inv/matinv.c:481-540) and
+detects nullspaces from null pivots (matinv.c:55-195).  permon_tpu's dense
+:class:`~permon_tpu.core.factor.BlockDiagCholInv` is O(nl^3) work and
+O(nl^2) memory per subdomain — impossible past a few thousand dofs.  This
+module is the TPU-native scalable replacement:
+
+1. Each subdomain is RCM-reordered at setup (host, scipy) so its stiffness
+   has bandwidth bw; the reordering is fused into the PROBLEM (l2g and the
+   constraint operators are built on the permuted numbering) so no runtime
+   permutation exists.
+2. A matrix of bandwidth bw < NB (NB = the padded block size, a multiple of
+   128) is block tridiagonal with (NB, NB) blocks.  Factorization is the
+   block-tridiagonal Cholesky recurrence
+
+       F_i = A_{i,i-1} D_{i-1}^{-T},   D_i = chol(A_ii - F_i F_i'),
+
+   run as one ``lax.scan`` over the ~n/NB block rows with every step a
+   batched (over subdomains) dense MXU op — the TPU analog of a supernodal
+   sparse factorization with one supernode per block row.  Storage is
+   2 * NB * n per subdomain; factor cost ~3 * NB^2 * n flops.
+3. Applies are two scans (forward/backward substitution) of batched GEMVs
+   against the stored D^{-1} and F blocks — no triangular solves in the hot
+   path.
+4. Floating subdomains are handled by FIXING-DOF regularization
+   (MatRegularize with pivot rows, reference:
+   src/mat/interface/permonmatregularize.c:117-287): Kreg = K + rho *
+   R_I (R_I' R_I)^{-1} R_I' with the fixing dofs I chosen among the
+   LAST-ordered nodes, so the added block lives inside the final diagonal
+   block and the band is preserved.  Kreg^{-1} is then an EXACT generalized
+   inverse of K (K Kreg^{-1} K = K, verified to machine precision in
+   tests/test_band.py), which is all the dual pipeline needs.
+
+Mixed precision: factor in f32 with ``refine`` steps of iterative refinement
+against the f64 block-tridiagonal operator recovers direct-solver accuracy
+at half the memory — the classic mixed-precision direct solve (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .linop import LinearOperator
+
+
+# ---------------------------------------------------------------------------
+# host-side setup
+# ---------------------------------------------------------------------------
+
+
+def rcm_order(a) -> np.ndarray:
+    """Bandwidth-reducing (reverse Cuthill-McKee) ordering of a sparse
+    symmetric matrix — the fill-reducing-ordering role MUMPS' analysis phase
+    plays in the reference."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    return np.asarray(reverse_cuthill_mckee(sp.csr_matrix(a), symmetric_mode=True))
+
+
+def bandwidth(a) -> int:
+    coo = a.tocoo()
+    if coo.nnz == 0:
+        return 0
+    return int(np.abs(coo.row.astype(np.int64) - coo.col).max())
+
+
+def csr_to_block_tridiag(a, NB: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(nl, nl) sparse with bandwidth < NB -> block-tridiagonal numpy blocks
+    Ad (nb, NB, NB), Asub (nb, NB, NB) with Asub[0] = 0.  Padding rows get a
+    unit diagonal."""
+    import scipy.sparse as sp
+
+    a = sp.coo_matrix(a)
+    nl = a.shape[0]
+    nb = max((nl + NB - 1) // NB, 1)
+    bw = bandwidth(a)
+    if bw >= NB:
+        raise ValueError(f"bandwidth {bw} >= block size {NB}; raise NB or reorder")
+    Ad = np.zeros((nb, NB, NB))
+    Asub = np.zeros((nb, NB, NB))
+    bi, ri = np.divmod(a.row.astype(np.int64), NB)
+    bj, rj = np.divmod(a.col.astype(np.int64), NB)
+    diag = bi == bj
+    np.add.at(Ad, (bi[diag], ri[diag], rj[diag]), a.data[diag])
+    sub = bi == bj + 1
+    np.add.at(Asub, (bi[sub], ri[sub], rj[sub]), a.data[sub])
+    # (the bi == bj - 1 entries are the transposes of the sub entries for a
+    # symmetric matrix and are not stored)
+    for i in range(nl, nb * NB):
+        Ad[i // NB, i % NB, i % NB] = 1.0
+    return Ad, Asub
+
+
+def fixing_dofs(R_block: np.ndarray, lo: int = 0, hi: Optional[int] = None) -> np.ndarray:
+    """Choose k = R.shape[1] fixing dofs with a well-conditioned restriction
+    R_I (greedy column-pivoted QR on R'), restricted to rows [lo, hi) —
+    keeping the regularization block inside one band block
+    (permonmatregularize.c picks pivot rows of R the same way)."""
+    from scipy.linalg import qr
+
+    k = R_block.shape[1]
+    if k == 0:
+        return np.zeros(0, dtype=np.int64)
+    hi = R_block.shape[0] if hi is None else hi
+    Rw = R_block[lo:hi]
+    _, _, piv = qr(Rw.T, pivoting=True)
+    return np.sort(piv[:k] + lo)
+
+
+def regularize_block_tridiag(
+    Ad: np.ndarray, Asub: np.ndarray, R_block: np.ndarray, rho: float,
+    NB: int, nl: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Add rho * R_I (R_I'R_I)^{-1} R_I' at fixing dofs I (on copies).
+
+    The fixing dofs are picked inside ONE diagonal block near the end of the
+    (bandwidth-reducing) ordering: the last block when it holds enough real
+    dofs for a well-conditioned R_I, otherwise the one before it — so the
+    added dense k x k coupling never widens the band."""
+    k = R_block.shape[1]
+    if k == 0:
+        return Ad, Asub
+    nl = R_block.shape[0] if nl is None else nl
+    last = (nl - 1) // NB
+    in_last = nl - last * NB
+    if in_last >= max(4 * k, 16) or last == 0:
+        lo, hi = last * NB, nl
+    else:
+        lo, hi = (last - 1) * NB, last * NB
+    I = fixing_dofs(R_block, lo=lo, hi=hi)
+    RI = R_block[I]
+    Q = RI @ np.linalg.solve(RI.T @ RI, RI.T)
+    Ad = Ad.copy()
+    bi = I // NB
+    assert (bi == bi[0]).all()
+    Ad[bi[0]][np.ix_(I % NB, I % NB)] += rho * Q
+    return Ad, Asub
+
+
+def gershgorin_max_eig(Ad: np.ndarray, Asub: np.ndarray) -> float:
+    """Cheap upper bound on lambda_max for the regularization rho (the
+    reference uses the power-method lambda_max, permonmatregularize.c:199;
+    any O(||K||) value keeps Kreg well-conditioned)."""
+    nb, NB, _ = Ad.shape
+    rowsum = np.abs(Ad).sum(axis=2)
+    rowsum[1:] += np.abs(Asub[1:]).sum(axis=2)
+    colsum_from_sub = np.abs(Asub[1:]).sum(axis=1)  # A_{i,i-1}' contributions
+    rowsum[:-1] += colsum_from_sub
+    return float(rowsum.max())
+
+
+# ---------------------------------------------------------------------------
+# device-side operators
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class BlockTridiag(LinearOperator):
+    """Batched per-subdomain block-tridiagonal SPD operator — the K of the
+    large path (the MATBLOCKDIAG analog at scale).  Only the diagonal and
+    subdiagonal blocks are stored (symmetry)."""
+
+    Ad: jax.Array  # (ns, nb, NB, NB)
+    Asub: jax.Array  # (ns, nb, NB, NB), [:, 0] = 0
+    shape: Tuple[int, int] = struct.field(pytree_node=False)
+
+    @classmethod
+    def from_blocks(cls, Ad, Asub) -> "BlockTridiag":
+        ns, nb, NB, _ = Ad.shape
+        n = int(ns * nb * NB)
+        return cls(Ad=jnp.asarray(Ad), Asub=jnp.asarray(Asub), shape=(n, n))
+
+    def mv(self, x):
+        ns, nb, NB, _ = self.Ad.shape
+        xb = x.reshape(ns, nb, NB)
+        y = jnp.einsum("snij,snj->sni", self.Ad, xb)
+        # A_{i,i-1} x_{i-1}
+        x_prev = jnp.concatenate([jnp.zeros_like(xb[:, :1]), xb[:, :-1]], axis=1)
+        y = y + jnp.einsum("snij,snj->sni", self.Asub, x_prev)
+        # A_{i,i+1} x_{i+1} = Asub_{i+1}' x_{i+1}
+        up = jnp.einsum("snji,snj->sni", self.Asub, xb)  # block i-1 contribution
+        y = y + jnp.concatenate([up[:, 1:], jnp.zeros_like(up[:, :1])], axis=1)
+        return y.reshape(-1)
+
+    rmv = mv  # symmetric
+
+    def diagonal(self):
+        return jnp.diagonal(self.Ad, axis1=2, axis2=3).reshape(-1)
+
+
+@jax.jit
+def factor_block_tridiag(Ad, Asub):
+    """Block-tridiagonal Cholesky: returns (Dinv, F) with D_i the lower
+    Cholesky factors of the block pivots and F_i = A_{i,i-1} D_{i-1}^{-T};
+    Dinv_i = D_i^{-1} stored explicitly so applies are pure GEMVs."""
+    ns, nb, NB, _ = Ad.shape
+    eye = jnp.broadcast_to(jnp.eye(NB, dtype=Ad.dtype), (ns, NB, NB))
+
+    def step(Dinv_prev, blocks):
+        Aii, Ai = blocks  # (ns, NB, NB)
+        F = jnp.einsum("sij,skj->sik", Ai, Dinv_prev)  # A_{i,i-1} D^{-T}
+        S = Aii - jnp.einsum("sik,sjk->sij", F, F)
+        D = jnp.linalg.cholesky(S)
+        Dinv = jax.lax.linalg.triangular_solve(
+            D, eye, left_side=True, lower=True
+        )
+        return Dinv, (Dinv, F)
+
+    Dinv0 = jnp.zeros((ns, NB, NB), Ad.dtype)
+    _, (Dinv, F) = jax.lax.scan(
+        step, Dinv0, (Ad.transpose(1, 0, 2, 3), Asub.transpose(1, 0, 2, 3))
+    )
+    return Dinv.transpose(1, 0, 2, 3), F.transpose(1, 0, 2, 3)
+
+
+@struct.dataclass
+class BandCholInv(LinearOperator):
+    """y = Kreg^{-1} x via the stored block-tridiagonal Cholesky factors —
+    the scalable MAT_INV_BLOCKDIAG (matinv.c:481-590).  With ``refine`` > 0
+    and ``op`` set, each apply runs that many iterative-refinement steps
+    against ``op`` (kept in its own precision), recovering f64-direct
+    accuracy from an f32 factorization."""
+
+    Dinv: jax.Array  # (ns, nb, NB, NB)
+    F: jax.Array  # (ns, nb, NB, NB)
+    shape: Tuple[int, int] = struct.field(pytree_node=False)
+    op: Optional[BlockTridiag] = None
+    refine: int = struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def from_block_tridiag(
+        cls, Ad, Asub, dtype=None, refine: int = 0, keep_operator: bool = False
+    ) -> "BandCholInv":
+        Ad = jnp.asarray(Ad)
+        Asub = jnp.asarray(Asub)
+        fdtype = dtype or Ad.dtype
+        Dinv, F = factor_block_tridiag(Ad.astype(fdtype), Asub.astype(fdtype))
+        ns, nb, NB, _ = Ad.shape
+        n = int(ns * nb * NB)
+        op = BlockTridiag.from_blocks(Ad, Asub) if (keep_operator or refine) else None
+        return cls(Dinv=Dinv, F=F, shape=(n, n), op=op, refine=refine)
+
+    def _solve(self, x):
+        ns, nb, NB, _ = self.Dinv.shape
+        xb = x.reshape(ns, nb, NB).astype(self.Dinv.dtype)
+
+        def fwd(y_prev, blocks):
+            b_i, Dinv_i, F_i = blocks
+            y = jnp.einsum(
+                "sij,sj->si", Dinv_i,
+                b_i - jnp.einsum("sij,sj->si", F_i, y_prev),
+            )
+            return y, y
+
+        _, Y = jax.lax.scan(
+            fwd, jnp.zeros((ns, NB), self.Dinv.dtype),
+            (xb.transpose(1, 0, 2), self.Dinv.transpose(1, 0, 2, 3),
+             self.F.transpose(1, 0, 2, 3)),
+        )
+
+        # backward: x_i = D_i^{-T} (y_i - F_{i+1}' x_{i+1})
+        F_next = jnp.concatenate(
+            [self.F[:, 1:], jnp.zeros_like(self.F[:, :1])], axis=1
+        )
+
+        def bwd(x_next, blocks):
+            y_i, Dinv_i, F_n = blocks
+            xi = jnp.einsum(
+                "sji,sj->si", Dinv_i,
+                y_i - jnp.einsum("sji,sj->si", F_n, x_next),
+            )
+            return xi, xi
+
+        _, X = jax.lax.scan(
+            bwd, jnp.zeros((ns, NB), self.Dinv.dtype),
+            (Y, self.Dinv.transpose(1, 0, 2, 3), F_next.transpose(1, 0, 2, 3)),
+            reverse=True,
+        )
+        return X.transpose(1, 0, 2).reshape(-1)
+
+    def mv(self, x):
+        y = self._solve(x).astype(x.dtype)
+        if self.refine and self.op is not None:
+            for _ in range(self.refine):
+                r = x - self.op.mv(y)
+                y = y + self._solve(r).astype(x.dtype)
+        return y
+
+    rmv = mv  # symmetric
+
+
+def make_band_kplus(
+    K_blocks: List, R_bases: Optional[List[np.ndarray]] = None,
+    NB: Optional[int] = None, dtype=None, refine: int = 0,
+    keep_operator: bool = False,
+):
+    """Factorized generalized inverse for a list of per-subdomain SPARSE
+    stiffness blocks (scipy matrices, equal size) — the scalable
+    make_blockdiag_kplus.  ``R_bases[s]`` is subdomain s's nullspace basis
+    (fixing-dof regularization is applied per singular block); blocks are
+    assumed pre-ordered for bandwidth (apply :func:`rcm_order` to the
+    PROBLEM before assembly — a runtime permutation would add a gather to
+    every apply).
+
+    Returns (BandCholInv, NB)."""
+    import scipy.sparse as sp
+
+    ns = len(K_blocks)
+    nl = K_blocks[0].shape[0]
+    bw = max(bandwidth(sp.csr_matrix(K)) for K in K_blocks)
+    if NB is None:
+        NB = max(((bw + 1 + 127) // 128) * 128, 128)
+    Ads, Asubs = [], []
+    for s in range(ns):
+        Ad, Asub = csr_to_block_tridiag(K_blocks[s], NB)
+        if R_bases is not None and R_bases[s].shape[1] > 0:
+            rho = gershgorin_max_eig(Ad, Asub)
+            Ad, Asub = regularize_block_tridiag(
+                Ad, Asub, R_bases[s][: K_blocks[s].shape[0]], rho, NB, nl=nl
+            )
+        Ads.append(Ad)
+        Asubs.append(Asub)
+    Ad = np.stack(Ads)
+    Asub = np.stack(Asubs)
+    inv = BandCholInv.from_block_tridiag(
+        Ad, Asub, dtype=dtype, refine=refine, keep_operator=keep_operator
+    )
+    return inv, NB

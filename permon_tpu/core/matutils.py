@@ -185,15 +185,18 @@ def make_operator(a, max_pad_ratio: float = 4.0) -> "LinearOperator":
 
     Banded matrices (few occupied diagonals — every structured-grid stencil)
     go to :class:`~permon_tpu.core.dia.Dia`, whose shifted-stream matvec runs
-    at HBM roofline; everything else falls back to
-    :class:`~permon_tpu.core.linop.Ell`, whose gather-based matvec is
-    correct for arbitrary sparsity but pays the TPU's serialized-gather cost
-    (~7 ns/nnz measured on v5e).  ``max_pad_ratio`` bounds the DIA storage
-    overhead ndiag*n / nnz before falling back."""
+    at HBM roofline (~120-175 GnnZ/s measured on v5e); other SQUARE matrices
+    go to :class:`~permon_tpu.core.sell.SEll`, the gather-scheduled kernel
+    for arbitrary sparsity (~20 GnnZ/s on an RCM-ordered 3-D Laplacian);
+    rectangular matrices fall back to :class:`~permon_tpu.core.linop.Ell`
+    (correct everywhere; pays the TPU's serialized-gather cost, ~7 ns/nnz).
+    ``max_pad_ratio`` bounds the DIA storage overhead ndiag*n / nnz before
+    falling back."""
     import scipy.sparse as sp
 
     from .dia import Dia
     from .linop import Ell
+    from .sell import SEll
 
     a = a.tocsr() if sp.issparse(a) else sp.csr_matrix(np.asarray(a))
     m, n = a.shape
@@ -202,4 +205,7 @@ def make_operator(a, max_pad_ratio: float = 4.0) -> "LinearOperator":
         ndiag = len(np.unique(coo.col.astype(np.int64) - coo.row))
         if ndiag * n <= max_pad_ratio * a.nnz:
             return Dia.from_scipy(a)
+        symmetric = (a != a.T).nnz == 0
+        return SEll.from_scipy(a, symmetric=symmetric,
+                               with_transpose=not symmetric)
     return Ell.from_scipy(a)

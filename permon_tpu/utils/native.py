@@ -46,7 +46,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO_PATH) and not _build():
+    src = os.path.join(_NATIVE_DIR, "permon_host.cpp")
+    stale = (
+        not os.path.exists(_SO_PATH)
+        or (os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+    )
+    if stale and not _build():
         return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
@@ -73,6 +79,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.permon_leaf_partners.argtypes = [
         i32p, f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, f64p,
     ]
+    if hasattr(lib, "permon_sell_schedule"):
+        lib.permon_sell_schedule.restype = ctypes.c_int64
+        lib.permon_sell_schedule.argtypes = [
+            i64p, i64p, f64p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p, i32p, f64p,
+        ]
     _lib = lib
     return _lib
 
@@ -152,6 +164,34 @@ def csr_to_ell_native(a):
         _ptr(vals, ctypes.c_double),
     )
     return cols, vals
+
+
+def sell_schedule_native(indptr, indices, data, m: int, ntiles: int):
+    """Native SELL round scheduler (core/sell.py setup); returns
+    (wstart, tid, S, C, V) or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "permon_sell_schedule"):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    nr = int(lib.permon_sell_schedule(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
+        _ptr(data, ctypes.c_double), m, ntiles, None, None, None, None, None,
+    ))
+    wstart = np.empty(nr, dtype=np.int32)
+    tid = np.empty(nr, dtype=np.int32)
+    S = np.empty((nr, 8, 128), dtype=np.int32)
+    C = np.empty((nr, 8, 128), dtype=np.int32)
+    V = np.empty((nr, 8, 128), dtype=np.float64)
+    lib.permon_sell_schedule(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
+        _ptr(data, ctypes.c_double), m, ntiles,
+        _ptr(wstart, ctypes.c_int32), _ptr(tid, ctypes.c_int32),
+        _ptr(S, ctypes.c_int32), _ptr(C, ctypes.c_int32),
+        _ptr(V, ctypes.c_double),
+    )
+    return wstart, tid, S, C, V
 
 
 def leaf_partners_native(rows: np.ndarray, vals: np.ndarray, m: int):

@@ -50,10 +50,12 @@ class TestMakeOperator:
     def test_banded_goes_dia(self):
         assert isinstance(make_operator(_laplacian_2d(10)), Dia)
 
-    def test_unstructured_goes_ell(self):
+    def test_unstructured_square_goes_sell(self):
+        from permon_tpu.core.sell import SEll
+
         rng = np.random.RandomState(3)
         a = sp.random(200, 200, density=0.05, random_state=rng, format="csr")
-        assert isinstance(make_operator(a), Ell)
+        assert isinstance(make_operator(a), SEll)
 
     def test_rectangular_goes_ell(self):
         a = sp.random(50, 80, density=0.1, random_state=np.random.RandomState(4))

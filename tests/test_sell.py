@@ -1,0 +1,118 @@
+"""SELL gather-scheduled sparse operator (core/sell.py): round algebra vs
+scipy on both the XLA path and the Pallas kernel (interpret mode on CPU),
+scheduler constraint stress cases, and make_operator format selection."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from permon_tpu.core.sell import RB, SEll, _sell_mv_pallas
+from permon_tpu.core.dia import Dia
+from permon_tpu.core.linop import Ell
+from permon_tpu.core.matutils import make_operator
+
+
+def _permuted_laplacian_2d(nx, seed=0):
+    n1 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx), format="csr")
+    i1 = sp.identity(nx, format="csr")
+    a = (sp.kron(n1, i1) + sp.kron(i1, n1)).tocsr()
+    perm = np.random.RandomState(seed).permutation(a.shape[0])
+    return a[perm][:, perm].tocsr()
+
+
+def _check(a, op, rtol=1e-12):
+    x = np.random.RandomState(1).rand(a.shape[1])
+    y = np.asarray(op.mv(jnp.asarray(x)))
+    ref = a @ x
+    np.testing.assert_allclose(y, ref, atol=rtol * max(np.abs(ref).max(), 1.0))
+
+
+class TestSEll:
+    def test_mv_matches_scipy_xla(self):
+        a = _permuted_laplacian_2d(40)  # n=1600: 2 tiles, arbitrary pattern
+        rep = {}
+        op = SEll.from_scipy(a, report=rep)
+        assert rep["rounds"] >= 1 and op.tid.shape[0] % RB == 0
+        _check(a, op)
+
+    def test_pallas_interpret_matches_scipy(self):
+        a = _permuted_laplacian_2d(40)
+        op = SEll.from_scipy(a)
+        x = np.random.RandomState(2).rand(1600).astype(np.float32)
+        y = _sell_mv_pallas(
+            op.wstart, op.tid, op.S, op.C, op.V.astype(jnp.float32),
+            op._x2d(jnp.asarray(x)), op.ntiles, interpret=True,
+        )[: a.shape[0]]
+        ref = (a @ x).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+    def test_rectangular_with_transpose(self):
+        b = sp.random(300, 1600, density=0.01, random_state=np.random.RandomState(3)).tocsr()
+        op = SEll.from_scipy(b, with_transpose=True)
+        _check(b, op)
+        y = np.random.RandomState(4).rand(300)
+        np.testing.assert_allclose(
+            np.asarray(op.rmv(jnp.asarray(y))), b.T @ y, atol=1e-12
+        )
+
+    def test_dense_column_lane_conflicts(self):
+        # a dense column forces many rows in one sublane group to read the
+        # SAME window lane — the scheduler must resolve via extra rounds
+        a = _permuted_laplacian_2d(20).tolil()
+        a[:, 7] = 1.5
+        a = a.tocsr()
+        _check(a, op=SEll.from_scipy(a))
+
+    def test_small_and_unaligned_sizes(self):
+        for m, n in [(5, 5), (130, 130), (1025, 1025), (1024, 300)]:
+            a = sp.random(m, n, density=0.05, random_state=np.random.RandomState(m))
+            a = a.tocsr()
+            _check(a, SEll.from_scipy(a))
+
+    def test_rows_and_tiles_without_nonzeros(self):
+        # rows 0..1023 empty: tile 0 must still be written (zeroed)
+        a = sp.lil_matrix((2048, 2048))
+        a[1500, 3] = 2.0
+        a[2047, 2047] = -1.0
+        _check(a.tocsr(), SEll.from_scipy(a.tocsr()))
+
+    def test_python_scheduler_matches_native(self):
+        from permon_tpu.utils import native as nat
+
+        a = _permuted_laplacian_2d(20, seed=5)
+        lib = nat._lib
+        try:
+            nat._lib, nat._tried = None, True  # force python fallback
+            op_py = SEll.from_scipy(a)
+        finally:
+            nat._lib, nat._tried = lib, True
+        op_nat = SEll.from_scipy(a)
+        x = np.random.RandomState(6).rand(a.shape[0])
+        np.testing.assert_allclose(
+            np.asarray(op_py.mv(jnp.asarray(x))),
+            np.asarray(op_nat.mv(jnp.asarray(x))), atol=1e-12,
+        )
+
+
+class TestMakeOperatorSelection:
+    def test_unstructured_square_symmetric_goes_sell(self):
+        a = _permuted_laplacian_2d(20)
+        op = make_operator(a)
+        assert isinstance(op, SEll) and op.symmetric
+        x = np.random.RandomState(0).rand(400)
+        np.testing.assert_allclose(np.asarray(op.rmv(jnp.asarray(x))), a.T @ x, atol=1e-12)
+
+    def test_unstructured_square_nonsymmetric_gets_t_plan(self):
+        a = sp.random(500, 500, density=0.03, random_state=np.random.RandomState(7)).tocsr()
+        op = make_operator(a)
+        assert isinstance(op, SEll) and not op.symmetric and op.t_plan is not None
+        x = np.random.RandomState(8).rand(500)
+        np.testing.assert_allclose(np.asarray(op.rmv(jnp.asarray(x))), a.T @ x, atol=1e-12)
+
+    def test_banded_still_goes_dia(self):
+        n1 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(100, 100), format="csr")
+        assert isinstance(make_operator(n1), Dia)
+
+    def test_rectangular_goes_ell(self):
+        a = sp.random(50, 80, density=0.1, random_state=np.random.RandomState(9))
+        assert isinstance(make_operator(a), Ell)
