@@ -181,15 +181,26 @@ class BlockTridiag(LinearOperator):
 
     def mv(self, x):
         ns, nb, NB, _ = self.Ad.shape
-        xb = x.reshape(ns, nb, NB)
-        y = jnp.einsum("snij,snj->sni", self.Ad, xb)
-        # A_{i,i-1} x_{i-1}
-        x_prev = jnp.concatenate([jnp.zeros_like(xb[:, :1]), xb[:, :-1]], axis=1)
-        y = y + jnp.einsum("snij,snj->sni", self.Asub, x_prev)
-        # A_{i,i+1} x_{i+1} = Asub_{i+1}' x_{i+1}
-        up = jnp.einsum("snji,snj->sni", self.Asub, xb)  # block i-1 contribution
-        y = y + jnp.concatenate([up[:, 1:], jnp.zeros_like(up[:, :1])], axis=1)
-        return y.reshape(-1)
+        # compute in the operator's storage dtype: promoting the O(NB^2)
+        # block arrays to a wider input dtype would materialize multi-GB
+        # temporaries (f64 on TPU is float-float emulated: 2x buffers,
+        # 4x matmul partials)
+        xb = x.reshape(ns, nb, NB).astype(self.Ad.dtype)
+        # full-f32 matmul precision: the TPU default (bf16 passes) loses
+        # ~5 decimal digits, which poisons residuals and refinements
+        with jax.default_matmul_precision("highest"):
+            y = jnp.einsum("snij,snj->sni", self.Ad, xb)
+            # A_{i,i-1} x_{i-1}
+            x_prev = jnp.concatenate(
+                [jnp.zeros_like(xb[:, :1]), xb[:, :-1]], axis=1
+            )
+            y = y + jnp.einsum("snij,snj->sni", self.Asub, x_prev)
+            # A_{i,i+1} x_{i+1} = Asub_{i+1}' x_{i+1}
+            up = jnp.einsum("snji,snj->sni", self.Asub, xb)  # to block i-1
+            y = y + jnp.concatenate(
+                [up[:, 1:], jnp.zeros_like(up[:, :1])], axis=1
+            )
+        return y.reshape(-1).astype(x.dtype)
 
     rmv = mv  # symmetric
 
@@ -207,12 +218,16 @@ def factor_block_tridiag(Ad, Asub):
 
     def step(Dinv_prev, blocks):
         Aii, Ai = blocks  # (ns, NB, NB)
-        F = jnp.einsum("sij,skj->sik", Ai, Dinv_prev)  # A_{i,i-1} D^{-T}
-        S = Aii - jnp.einsum("sik,sjk->sij", F, F)
-        D = jnp.linalg.cholesky(S)
-        Dinv = jax.lax.linalg.triangular_solve(
-            D, eye, left_side=True, lower=True
-        )
+        # full-f32 matmul precision: the Schur-complement recurrence
+        # compounds over the block rows, and the TPU's default bf16 passes
+        # lose positive-definiteness (NaN Cholesky) within a few blocks
+        with jax.default_matmul_precision("highest"):
+            F = jnp.einsum("sij,skj->sik", Ai, Dinv_prev)  # A_{i,i-1} D^{-T}
+            S = Aii - jnp.einsum("sik,sjk->sij", F, F)
+            D = jnp.linalg.cholesky(S)
+            Dinv = jax.lax.linalg.triangular_solve(
+                D, eye, left_side=True, lower=True
+            )
         return Dinv, (Dinv, F)
 
     Dinv0 = jnp.zeros((ns, NB, NB), Ad.dtype)
@@ -227,63 +242,73 @@ class BandCholInv(LinearOperator):
     """y = Kreg^{-1} x via the stored block-tridiagonal Cholesky factors —
     the scalable MAT_INV_BLOCKDIAG (matinv.c:481-590).  With ``refine`` > 0
     and ``op`` set, each apply runs that many iterative-refinement steps
-    against ``op`` (kept in its own precision), recovering f64-direct
-    accuracy from an f32 factorization."""
+    against ``op`` (kept in its own precision), recovering direct accuracy
+    from an f32 factorization.
 
-    Dinv: jax.Array  # (ns, nb, NB, NB)
-    F: jax.Array  # (ns, nb, NB, NB)
+    Factors are stored SCAN-MAJOR — (nb, ns, NB, NB), block index leading —
+    so the substitution scans consume them as xs without materializing
+    transposed copies (a per-apply transpose of the multi-GB factor arrays
+    is what OOMs a 16 GB chip), and the backward scan's shifted F is
+    precomputed once."""
+
+    Dinv: jax.Array  # (nb, ns, NB, NB), scan-major
+    F: jax.Array  # (nb, ns, NB, NB), scan-major; F[0] = 0
+    Fnext: jax.Array  # (nb, ns, NB, NB): Fnext[i] = F[i+1], last = 0
     shape: Tuple[int, int] = struct.field(pytree_node=False)
     op: Optional[BlockTridiag] = None
     refine: int = struct.field(pytree_node=False, default=0)
 
     @classmethod
     def from_block_tridiag(
-        cls, Ad, Asub, dtype=None, refine: int = 0, keep_operator: bool = False
+        cls, Ad, Asub, dtype=None, refine: int = 0, keep_operator: bool = False,
+        op_dtype=None,
     ) -> "BandCholInv":
         Ad = jnp.asarray(Ad)
         Asub = jnp.asarray(Asub)
         fdtype = dtype or Ad.dtype
         Dinv, F = factor_block_tridiag(Ad.astype(fdtype), Asub.astype(fdtype))
+        Dinv = Dinv.transpose(1, 0, 2, 3)
+        F = F.transpose(1, 0, 2, 3)
+        Fnext = jnp.concatenate([F[1:], jnp.zeros_like(F[:1])], axis=0)
         ns, nb, NB, _ = Ad.shape
         n = int(ns * nb * NB)
-        op = BlockTridiag.from_blocks(Ad, Asub) if (keep_operator or refine) else None
-        return cls(Dinv=Dinv, F=F, shape=(n, n), op=op, refine=refine)
+        op = None
+        if keep_operator or refine:
+            odt = op_dtype or Ad.dtype
+            op = BlockTridiag.from_blocks(Ad.astype(odt), Asub.astype(odt))
+        return cls(Dinv=Dinv, F=F, Fnext=Fnext, shape=(n, n), op=op,
+                   refine=refine)
 
     def _solve(self, x):
-        ns, nb, NB, _ = self.Dinv.shape
-        xb = x.reshape(ns, nb, NB).astype(self.Dinv.dtype)
+        nb, ns, NB, _ = self.Dinv.shape
+        xb = x.reshape(ns, nb, NB).astype(self.Dinv.dtype).transpose(1, 0, 2)
 
         def fwd(y_prev, blocks):
             b_i, Dinv_i, F_i = blocks
-            y = jnp.einsum(
-                "sij,sj->si", Dinv_i,
-                b_i - jnp.einsum("sij,sj->si", F_i, y_prev),
-            )
+            with jax.default_matmul_precision("highest"):
+                y = jnp.einsum(
+                    "sij,sj->si", Dinv_i,
+                    b_i - jnp.einsum("sij,sj->si", F_i, y_prev),
+                )
             return y, y
 
         _, Y = jax.lax.scan(
-            fwd, jnp.zeros((ns, NB), self.Dinv.dtype),
-            (xb.transpose(1, 0, 2), self.Dinv.transpose(1, 0, 2, 3),
-             self.F.transpose(1, 0, 2, 3)),
+            fwd, jnp.zeros((ns, NB), self.Dinv.dtype), (xb, self.Dinv, self.F)
         )
 
         # backward: x_i = D_i^{-T} (y_i - F_{i+1}' x_{i+1})
-        F_next = jnp.concatenate(
-            [self.F[:, 1:], jnp.zeros_like(self.F[:, :1])], axis=1
-        )
-
         def bwd(x_next, blocks):
             y_i, Dinv_i, F_n = blocks
-            xi = jnp.einsum(
-                "sji,sj->si", Dinv_i,
-                y_i - jnp.einsum("sji,sj->si", F_n, x_next),
-            )
+            with jax.default_matmul_precision("highest"):
+                xi = jnp.einsum(
+                    "sji,sj->si", Dinv_i,
+                    y_i - jnp.einsum("sji,sj->si", F_n, x_next),
+                )
             return xi, xi
 
         _, X = jax.lax.scan(
             bwd, jnp.zeros((ns, NB), self.Dinv.dtype),
-            (Y, self.Dinv.transpose(1, 0, 2, 3), F_next.transpose(1, 0, 2, 3)),
-            reverse=True,
+            (Y, self.Dinv, self.Fnext), reverse=True,
         )
         return X.transpose(1, 0, 2).reshape(-1)
 

@@ -68,17 +68,7 @@ class FetiProblem:
     def dirichlet_global(self) -> np.ndarray:
         """The Dirichlet set renumbered to global-undecomposed ids
         (QPFetiAssembleDirichlet's renumbering step, qpfeti.c:153-200)."""
-        d = np.asarray(self.dirichlet)
-        if len(d) == 0:
-            return d.astype(np.int64).reshape(-1)
-        if self.dirichlet_numtype == "global_undecomposed":
-            return d.astype(np.int64)
-        if self.dirichlet_numtype == "global_decomposed":
-            return self.l2g.reshape(-1)[d.astype(np.int64)]
-        if self.dirichlet_numtype == "local":
-            d = d.reshape(-1, 2)
-            return self.l2g[d[:, 0], d[:, 1]]
-        raise ValueError(f"unknown dirichlet numtype {self.dirichlet_numtype!r}")
+        return dirichlet_global_ids(self.l2g, self.dirichlet, self.dirichlet_numtype)
 
     def floating_mask(self, tol: float = 1e-10) -> np.ndarray:
         if self.floating is not None:
@@ -104,6 +94,23 @@ class FetiProblem:
     @property
     def n_global(self) -> int:
         return int(self.l2g.max()) + 1
+
+
+def dirichlet_global_ids(l2g: np.ndarray, dirichlet, numtype: str) -> np.ndarray:
+    """Renumber a Dirichlet set to global-undecomposed ids (the
+    QPFetiSetDirichlet numtype handling, qpfeti.c:153-200); shared by the
+    dense and sparse problem containers."""
+    d = np.asarray(dirichlet)
+    if len(d) == 0:
+        return d.astype(np.int64).reshape(-1)
+    if numtype == "global_undecomposed":
+        return d.astype(np.int64)
+    if numtype == "global_decomposed":
+        return l2g.reshape(-1)[d.astype(np.int64)]
+    if numtype == "local":
+        d = d.reshape(-1, 2)
+        return l2g[d[:, 0], d[:, 1]]
+    raise ValueError(f"unknown dirichlet numtype {numtype!r}")
 
 
 def _dof_copies(l2g: np.ndarray):

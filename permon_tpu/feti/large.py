@@ -1,0 +1,283 @@
+"""Large-scale TFETI — sparse per-subdomain blocks + band Cholesky K+.
+
+The tutorial-scale path (:mod:`permon_tpu.feti.solve`) stores each subdomain
+stiffness as a dense (nl, nl) block: O(nl^2) memory and O(nl^3) factor work
+per subdomain, impossible past a few thousand dofs.  This module is the
+scalable counterpart for the reference's production regime — per-rank MUMPS
+Cholesky on sparse subdomain stiffness (reference:
+src/mat/impls/inv/matinv.c:481-590) at 10^5-10^7 total dofs:
+
+- :class:`SparseFetiProblem` holds per-subdomain SCIPY sparse blocks;
+- the decomposed operator A is a :class:`~permon_tpu.core.band.BlockTridiag`
+  (batched (NB, NB) blocks — bandwidth-bounded sparsity made MXU-dense);
+- K+ is a :class:`~permon_tpu.core.band.BandCholInv`: one lax.scan blocked
+  band Cholesky over all subdomains, fixing-dof regularization for floating
+  blocks (an exact generalized inverse, see core/band.py), optional f32
+  factorization with f64/f32 iterative refinement;
+- everything downstream (dualize -> homogenize -> project -> CG) is the
+  SAME transform chain as the tutorial path — the projected pipeline is
+  invariant to the K+ choice (PARITY.md), so iteration counts match the
+  dense path where both run.
+
+The local dof numbering should be bandwidth-friendly (structured boxes
+already are; use :func:`reorder_rcm` for unstructured decompositions —
+the permutation is fused into the problem so no runtime gather exists).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.band import (
+    BandCholInv,
+    BlockTridiag,
+    bandwidth,
+    csr_to_block_tridiag,
+    gershgorin_max_eig,
+    rcm_order,
+    regularize_block_tridiag,
+)
+from ..core.convergence import Tolerances
+from ..core.extension import SubdomainExtension
+from ..core.linop import Ell
+from ..qp.qp import QP
+from ..qp.transforms import (
+    Solution,
+    compose,
+    dualize,
+    enforce_eq_by_projector,
+    homogenize_eq,
+)
+from ..solvers.cg import cg
+from .assembly import build_gluing, constant_nullspace_columns, rigid_body_modes
+from .solve import FetiOptions, FetiResult
+
+
+@dataclasses.dataclass
+class SparseFetiProblem:
+    """Decomposed problem with SPARSE per-subdomain stiffness blocks.
+
+    Mirrors :class:`~permon_tpu.feti.assembly.FetiProblem` minus the dense
+    K_blocks array; ``floating`` is required (at this scale the nullspace is
+    analytic — constant modes or rigid body modes — exactly as the reference
+    examples do, feti/ex71.c:331-339; there is no O(nl^3) eigendecomposition
+    fallback)."""
+
+    K_blocks: List[Any]  # ns scipy sparse (nl, nl) matrices
+    b_loc: np.ndarray  # (ns, nl)
+    l2g: np.ndarray  # (ns, nl) int64, -1 = padding
+    floating: np.ndarray  # (ns,) bool
+    dirichlet: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int64)
+    )
+    dirichlet_values: Optional[np.ndarray] = None
+    dirichlet_numtype: str = "global_undecomposed"
+    coords: Optional[np.ndarray] = None  # (ns, nn, dim) for rigid body modes
+
+    def dirichlet_global(self) -> np.ndarray:
+        from .assembly import dirichlet_global_ids
+
+        return dirichlet_global_ids(self.l2g, self.dirichlet, self.dirichlet_numtype)
+
+    @property
+    def ns(self) -> int:
+        return len(self.K_blocks)
+
+    @property
+    def nl(self) -> int:
+        return int(self.l2g.shape[1])
+
+    @property
+    def n_decomposed(self) -> int:
+        return self.ns * self.nl
+
+    @property
+    def n_global(self) -> int:
+        return int(self.l2g.max()) + 1
+
+
+def reorder_rcm(prob: SparseFetiProblem) -> SparseFetiProblem:
+    """Bandwidth-reducing reorder of every subdomain's LOCAL numbering,
+    fused into the problem (K blocks, b_loc, l2g, coords all permuted) so
+    downstream operators are built on the permuted numbering and applies
+    need no runtime gather.  Identical patterns share one RCM call."""
+    import scipy.sparse as sp
+
+    cache: dict = {}
+    K_new, b_new = [], prob.b_loc.copy()
+    l2g_new = prob.l2g.copy()
+    coords_new = prob.coords.copy() if prob.coords is not None else None
+    for s, K in enumerate(prob.K_blocks):
+        K = sp.csr_matrix(K)
+        key = (K.shape, K.nnz, K.indptr.tobytes(), K.indices.tobytes())
+        p = cache.get(key)
+        if p is None:
+            p = cache[key] = rcm_order(K)
+        K_new.append(K[p][:, p].tocsr())
+        b_new[s] = prob.b_loc[s][p]
+        l2g_new[s] = prob.l2g[s][p]
+        if coords_new is not None:
+            if prob.coords.shape[1] != prob.nl:
+                raise NotImplementedError(
+                    "reorder_rcm with node-blocked dofs (dof-per-node > 1) "
+                    "needs a node-level permutation; reorder before blocking"
+                )
+            coords_new[s] = prob.coords[s][p]
+    return dataclasses.replace(
+        prob, K_blocks=K_new, b_loc=b_new, l2g=l2g_new, coords=coords_new
+    )
+
+
+def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(),
+                       NB: Optional[int] = None, kplus_dtype=None,
+                       kplus_refine: int = 0, op_dtype=None):
+    """Build the decomposed QP (A = BlockTridiag, BE = gluing [+ Dirichlet
+    rows], R analytic) and the band K+.  Local sizes are padded to a
+    multiple of the band block size NB (padding dofs get unit diagonals and
+    l2g = -1, invisible to gluing and nullspace).
+
+    Returns (qp, kplus, NB)."""
+    import scipy.sparse as sp
+
+    ns, nl = prob.ns, prob.nl
+    K_blocks = [sp.csr_matrix(K) for K in prob.K_blocks]
+    bw = max(bandwidth(K) for K in K_blocks)
+    if NB is None:
+        NB = max(((bw + 1 + 127) // 128) * 128, 128)
+    elif bw >= NB:
+        raise ValueError(f"bandwidth {bw} >= NB {NB}")
+    nb = max((nl + NB - 1) // NB, 1)
+    nlp = nb * NB
+
+    # pad the problem to nlp local dofs
+    l2g = np.full((ns, nlp), -1, dtype=np.int64)
+    l2g[:, :nl] = prob.l2g
+    b_loc = np.zeros((ns, nlp))
+    b_loc[:, :nl] = prob.b_loc
+    probp = dataclasses.replace(prob, l2g=l2g, b_loc=b_loc)
+
+    blocks_coo = []
+    cE_parts = []
+    row_off = 0
+    if opts.dirichlet_by_B and len(prob.dirichlet):
+        from .assembly import build_dirichlet_rows
+
+        dr, dc, dv, nd, cvals = build_dirichlet_rows(probp)
+        blocks_coo.append((dr + row_off, dc, dv))
+        cE_parts.append(cvals)
+        row_off += nd
+    gr, gc, gv, ng = build_gluing(l2g, opts.gluing, opts.scale)
+    blocks_coo.append((gr + row_off, gc, gv))
+    cE_parts.append(np.zeros(ng))
+    row_off += ng
+    rows = np.concatenate([t[0] for t in blocks_coo])
+    cols = np.concatenate([t[1] for t in blocks_coo])
+    vals = np.concatenate([t[2] for t in blocks_coo])
+    BE = SubdomainExtension.from_coo(rows, cols, vals, m=row_off, ns=ns, nl=nlp)
+    cE = jnp.asarray(np.concatenate(cE_parts))
+
+    fixed_mask = ~np.asarray(prob.floating, dtype=bool)
+    if opts.nullspace == "rbm":
+        assert prob.coords is not None, "rbm nullspace needs prob.coords"
+        from .assembly import nullspace_columns_from_blocks
+
+        bases = []
+        for s in range(ns):
+            if fixed_mask[s]:
+                bases.append(np.zeros((nlp, 0)))
+                continue
+            modes = rigid_body_modes(prob.coords[s])
+            pad = np.zeros((nlp, modes.shape[1]))
+            pad[: modes.shape[0]] = modes
+            bases.append(pad)
+        rr, rc, rv, k = nullspace_columns_from_blocks(bases)
+    else:
+        bases = None
+        rr, rc, rv, k = constant_nullspace_columns(probp, fixed_mask)
+    R = Ell.from_scipy(sp.coo_matrix((rv, (rr, rc)), shape=(ns * nlp, k))) if k else None
+
+    # band K+ with fixing-dof regularization per floating block
+    Ads, Asubs = [], []
+    for s in range(ns):
+        Ad, Asub = csr_to_block_tridiag(K_blocks[s], NB)
+        if not fixed_mask[s]:
+            if bases is not None:
+                Rb = bases[s][:nl]
+            else:
+                real = np.flatnonzero(prob.l2g[s] >= 0)
+                Rb = np.zeros((nl, 1))
+                Rb[real, 0] = 1.0 / np.sqrt(len(real))
+            rho = gershgorin_max_eig(Ad, Asub)
+            Ad, Asub = regularize_block_tridiag(Ad, Asub, Rb, rho, NB, nl=nl)
+        Ads.append(Ad)
+        Asubs.append(Asub)
+    Ad = np.stack(Ads)
+    Asub = np.stack(Asubs)
+    kplus = BandCholInv.from_block_tridiag(
+        Ad, Asub, dtype=kplus_dtype, refine=kplus_refine,
+        keep_operator=True,  # A reuses the same blocks
+        op_dtype=op_dtype,
+    )
+    A = kplus.op
+    b = jnp.asarray(b_loc.reshape(-1))
+    qp = QP(A=A, b=b, BE=BE, cE=cE, R=R)
+    return qp, kplus, NB
+
+
+def feti_solve_sparse(
+    prob: SparseFetiProblem,
+    opts: FetiOptions = FetiOptions(),
+    tol: Tolerances = Tolerances(),
+    NB: Optional[int] = None,
+    kplus_dtype=None,
+    kplus_refine: int = 0,
+    op_dtype=None,
+) -> FetiResult:
+    """TFETI solve on sparse subdomain blocks: dualize (band K+) ->
+    homogenize -> project -> CG, then fold back and assemble the global
+    solution — the KSPFETI facade of the large path."""
+    qp, kplus, NB = assemble_qp_sparse(
+        prob, opts, NB=NB, kplus_dtype=kplus_dtype, kplus_refine=kplus_refine,
+        op_dtype=op_dtype,
+    )
+    steps = []
+    dual, post_d = dualize(qp, kplus=kplus)
+    steps.append((dual, post_d))
+    cur = dual
+    if cur.cE is not None:
+        cur, post_h = homogenize_eq(cur)
+        steps.append((cur, post_h))
+
+    precond = None
+    if opts.pc_dual == "lumped":
+        from ..pc.dual import PCDual
+
+        precond = PCDual.create(qp.BE, qp.A, "lumped").mv
+
+    if cur.BE is None:
+        res = cg(cur, tol=tol, precond=precond)
+    else:
+        pf_holder = cur
+        cur, post_p = enforce_eq_by_projector(cur)
+        steps.append((cur, post_p))
+        project = pf_holder.pf.apply_p if precond is not None else None
+        res = cg(cur, tol=tol, precond=precond, project=project)
+    sol = compose(steps)(Solution(x=res.x))
+
+    nlp = qp.BE.nl
+    u = np.asarray(sol.x).reshape(prob.ns, nlp)
+    x_global = np.zeros(prob.n_global)
+    counts = np.zeros(prob.n_global)
+    for s in range(prob.ns):
+        real = prob.l2g[s] >= 0
+        np.add.at(x_global, prob.l2g[s][real], u[s][: prob.nl][real])
+        np.add.at(counts, prob.l2g[s][real], 1.0)
+    x_global /= counts
+    return FetiResult(
+        x_global=x_global, u_decomposed=sol.x, solution=sol, result=res,
+        qp=qp, dual_qp=dual,
+    )

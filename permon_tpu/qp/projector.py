@@ -34,7 +34,14 @@ from ..core.linop import LinearOperator
 def dense_rows(op: LinearOperator, dtype=None) -> jax.Array:
     """Materialize a wide operator (few rows) as a dense (m, n) array by
     applying op' to the m unit vectors — the by-columns fallback idiom of the
-    reference (MatTransposeMatMultByColumns, permonmatutils.c)."""
+    reference (MatTransposeMatMultByColumns, permonmatutils.c).
+
+    Dense operators short-circuit (building an (m, m) identity for a
+    100k-row dual G would be O(m^2) memory for nothing)."""
+    from ..core.linop import Dense
+
+    if isinstance(op, Dense):
+        return op.a if dtype is None else op.a.astype(dtype)
     m = op.shape[0]
     dtype = dtype or jnp.result_type(float)
     eye = jnp.eye(m, dtype=dtype)

@@ -1,0 +1,91 @@
+"""Sparse-blocks TFETI path (feti/large.py): end-to-end solve vs the
+assembled system, iteration-count agreement with the dense path (projected
+pipeline is K+-invariant), mixed-precision factorization, and RCM reorder
+fusion."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from examples.feti_large import assembled_system, build_sparse
+from permon_tpu.core.convergence import Tolerances
+from permon_tpu.feti.large import (
+    SparseFetiProblem,
+    assemble_qp_sparse,
+    feti_solve_sparse,
+    reorder_rcm,
+)
+from permon_tpu.feti.solve import FetiOptions
+
+
+CELLS = (12, 12, 12)
+GRID = (2, 2, 2)
+
+
+@pytest.fixture(scope="module")
+def prob():
+    return build_sparse(CELLS, GRID)
+
+
+class TestSparseFeti:
+    def test_solves_assembled_system(self, prob):
+        res = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred"), tol=Tolerances(rtol=1e-5)
+        )
+        A, b = assembled_system(CELLS)
+        resid = np.linalg.norm(A @ res.x_global - b) / np.linalg.norm(b)
+        assert resid < 2e-5, resid
+
+    def test_iteration_count_matches_dense_path(self, prob):
+        """The projected dual pipeline is invariant to the K+ choice
+        (PARITY.md): band K+ with fixing-dof regularization must reproduce
+        the dense regularized-Cholesky path's CG iteration count."""
+        from examples.feti_ex71 import build as build71
+        from permon_tpu.feti.solve import feti_solve
+
+        res_s = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred"), tol=Tolerances(rtol=1e-5)
+        )
+        prob_d = build71(cells=CELLS, grid=GRID)
+        res_d = feti_solve(
+            prob_d, FetiOptions(gluing="nonred"), tol=Tolerances(rtol=1e-5)
+        )
+        assert int(res_s.result.iterations) == int(res_d.result.iterations)
+
+    def test_f32_factor_with_refinement(self, prob):
+        res = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred"), tol=Tolerances(rtol=1e-5),
+            kplus_dtype=jnp.float32, kplus_refine=2,
+        )
+        A, b = assembled_system(CELLS)
+        resid = np.linalg.norm(A @ res.x_global - b) / np.linalg.norm(b)
+        assert resid < 2e-5, resid
+
+    def test_rcm_reorder_fused_same_solution(self, prob):
+        resn = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred"), tol=Tolerances(rtol=1e-7)
+        )
+        resr = feti_solve_sparse(
+            reorder_rcm(prob), FetiOptions(gluing="nonred"),
+            tol=Tolerances(rtol=1e-7),
+        )
+        np.testing.assert_allclose(resr.x_global, resn.x_global, atol=1e-5)
+
+    def test_lumped_dual_preconditioner(self, prob):
+        res_n = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred"), tol=Tolerances(rtol=1e-5)
+        )
+        res_l = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred", pc_dual="lumped"),
+            tol=Tolerances(rtol=1e-5),
+        )
+        # lumped PC converges (typically in fewer iterations) to the same x
+        assert int(res_l.result.reason) == 2
+        np.testing.assert_allclose(res_l.x_global, res_n.x_global, atol=1e-3)
+
+    def test_assemble_pads_to_block_multiple(self, prob):
+        qp, kplus, NB = assemble_qp_sparse(prob, FetiOptions(gluing="nonred"))
+        assert NB % 128 == 0
+        assert qp.BE.nl % NB == 0
+        assert kplus.shape[1] == qp.BE.ns * qp.BE.nl
