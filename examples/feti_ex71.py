@@ -137,8 +137,7 @@ def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled", pde="pois
     blocks turn singular with e_i null vectors — pair with
     FetiOptions(nullspace='numeric')).
     """
-    from permon_tpu.feti import FetiProblem
-    from permon_tpu.feti.assembly import decompose_rhs_by_multiplicity
+    from permon_tpu.feti.matis import MatIS, feti_problem_from_matis, matis_ctx
 
     # reference convention: cells[n] = 0 for n >= dim (ex71.c:149); accept
     # 1-/2-tuples and pad so 2-D and 1-D variants (-dim 1/2) work too
@@ -195,7 +194,6 @@ def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled", pde="pois
     nn_max = max(len(nodes) for nodes, _ in subs)
     nl = nn_max * dof
     K = np.zeros((ns, nl, nl))
-    b = np.zeros((ns, nl))
     l2g = np.full((ns, nl), -1, dtype=np.int64)
     coords = np.zeros((ns, nn_max, 3))
     for s, (nodes, cells_list) in enumerate(subs):
@@ -212,20 +210,10 @@ def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled", pde="pois
         # padding: unit diagonal so the block stays factorizable
         for i in range(len(nodes) * dof, nl):
             K[s, i, i] = 1.0
-        # assembled (global) rhs = 1 at every dof, as VecSet(b, 1.0); the
-        # copy-sum over subdomains must equal 1, so mark one copy per dof and
-        # let decompose_rhs_by_multiplicity D-split it into 1/mult per copy
-        # (QPTMatISToBlockDiag rhs decomposition, qptransform.c:2097-2115)
-        pass
 
     # multiplicity of each global dof (for the Dirichlet diagonal convention)
-    mult = np.zeros(Mx * My * Mz * dof)
-    for s in range(ns):
-        real = l2g[s] >= 0
-        np.add.at(mult, l2g[s][real], 1.0)
-    for s in range(ns):
-        real = l2g[s] >= 0
-        b[s][real] = 1.0 / mult[l2g[s][real]]
+    n_global = Mx * My * Mz * dof
+    mult = matis_ctx(l2g, n_global).multiplicity
 
     # Dirichlet x=0 face: zero rows/cols, unit assembled diagonal, rhs kept
     fixed_nodes = {gid(0, j, k) for j in range(My) for k in range(Mz)}
@@ -245,11 +233,13 @@ def build(cells=(7, 8, 9), grid=(1, 2, 3), dirichlet_diag="assembled", pde="pois
                 else:
                     K[s][i, i] = 1.0
 
-    b = decompose_rhs_by_multiplicity(b, l2g)
-    return FetiProblem(
-        K_blocks=K, b_loc=b, l2g=l2g, dirichlet=np.array([], dtype=np.int64),
-        coords=coords,
-    )
+    # unassembled MATIS operator + assembled rhs = 1 (VecSet(b, 1.0)); the
+    # QPTMatISToBlockDiag analog performs the D-scaled rhs decomposition and
+    # packages the decomposed FetiProblem (qptransform.c:2006-2148)
+    A_is = MatIS.create(K, l2g, n_global)
+    prob, _post, _ctx = feti_problem_from_matis(
+        A_is, np.ones(n_global), coords=coords)
+    return prob
 
 
 def main(cells=(7, 8, 9), grid=(1, 2, 3), gluing="full", view=True, pde="poisson",
