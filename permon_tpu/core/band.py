@@ -279,9 +279,11 @@ class BandCholInv(LinearOperator):
         return cls(Dinv=Dinv, F=F, Fnext=Fnext, shape=(n, n), op=op,
                    refine=refine)
 
-    def _solve(self, x):
+    def _fwd(self, xb):
+        """y = L^{-1} x on scan-major (nb, ns, NB) blocks (forward
+        substitution with the block-bidiagonal L: L_ii = D_i,
+        L_{i,i-1} = F_i)."""
         nb, ns, NB, _ = self.Dinv.shape
-        xb = x.reshape(ns, nb, NB).astype(self.Dinv.dtype).transpose(1, 0, 2)
 
         def fwd(y_prev, blocks):
             b_i, Dinv_i, F_i = blocks
@@ -295,8 +297,13 @@ class BandCholInv(LinearOperator):
         _, Y = jax.lax.scan(
             fwd, jnp.zeros((ns, NB), self.Dinv.dtype), (xb, self.Dinv, self.F)
         )
+        return Y
 
-        # backward: x_i = D_i^{-T} (y_i - F_{i+1}' x_{i+1})
+    def _bwd(self, Y):
+        """x = L^{-T} y on scan-major blocks (backward substitution:
+        x_i = D_i^{-T} (y_i - F_{i+1}' x_{i+1}))."""
+        nb, ns, NB, _ = self.Dinv.shape
+
         def bwd(x_next, blocks):
             y_i, Dinv_i, F_n = blocks
             with jax.default_matmul_precision("highest"):
@@ -310,7 +317,27 @@ class BandCholInv(LinearOperator):
             bwd, jnp.zeros((ns, NB), self.Dinv.dtype),
             (Y, self.Dinv, self.Fnext), reverse=True,
         )
-        return X.transpose(1, 0, 2).reshape(-1)
+        return X
+
+    def _to_blocks(self, x):
+        nb, ns, NB, _ = self.Dinv.shape
+        return x.reshape(ns, nb, NB).astype(self.Dinv.dtype).transpose(1, 0, 2)
+
+    @staticmethod
+    def _from_blocks(Xb):
+        return Xb.transpose(1, 0, 2).reshape(-1)
+
+    def half_solve_lower(self, x):
+        """L^{-1} x — one forward scan (used by the implicit sparse-Cholesky
+        orthonormalization, permonmatorth.c:35-143's forward-solve shell)."""
+        return self._from_blocks(self._fwd(self._to_blocks(x))).astype(x.dtype)
+
+    def half_solve_upper(self, x):
+        """L^{-T} x — one backward scan."""
+        return self._from_blocks(self._bwd(self._to_blocks(x))).astype(x.dtype)
+
+    def _solve(self, x):
+        return self._from_blocks(self._bwd(self._fwd(self._to_blocks(x))))
 
     def mv(self, x):
         y = self._solve(x).astype(x.dtype)
@@ -321,6 +348,29 @@ class BandCholInv(LinearOperator):
         return y
 
     rmv = mv  # symmetric
+
+
+def band_chol_single(S, dtype=None, NB: Optional[int] = None,
+                     reorder: bool = True):
+    """Band Cholesky of ONE sparse SPD matrix (RCM-reordered, padded to a
+    block-tridiagonal ns=1 batch) — the sparse coarse-problem factorization
+    (the MUMPS GG' factor of qppf.c:282-333, but as batched MXU blocks).
+
+    Returns ``(inv, perm)``: ``inv`` solves the PERMUTED system (padded to a
+    multiple of NB; callers pad/slice), ``perm`` the RCM ordering used
+    (identity when ``reorder=False``)."""
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix(S)
+    m = S.shape[0]
+    perm = rcm_order(S) if reorder else np.arange(m)
+    Sp = S[perm][:, perm]
+    bw = bandwidth(Sp)
+    if NB is None:
+        NB = max(((bw + 1 + 127) // 128) * 128, 128)
+    Ad, Asub = csr_to_block_tridiag(Sp, NB)
+    inv = BandCholInv.from_block_tridiag(Ad[None], Asub[None], dtype=dtype)
+    return inv, perm
 
 
 def make_band_kplus(

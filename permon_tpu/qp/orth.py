@@ -18,10 +18,13 @@ Everything here is setup-time dense math on the small constraint dimension.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import struct
+
+from ..core.linop import LinearOperator
 
 
 def orth_rows_gs(B: jax.Array, rtol: float = 1e-10, max_reorth: int = 4) -> Tuple[jax.Array, jax.Array]:
@@ -105,6 +108,55 @@ def orth_rows(B: jax.Array, method: str = "gs"):
     if method in ("implicit", "inexact"):
         return B, jnp.eye(B.shape[0], dtype=B.dtype)
     raise ValueError(f"unknown orthonormalization method {method!r}")
+
+
+@struct.dataclass
+class BandOrthT(LinearOperator):
+    """Implicit T = L^{-1} P from the band Cholesky P BB' P' = LL' — the
+    row analog of the reference's implicit Cholesky orthonormalization
+    shell Q = A U^{-1} (MatOrthColumns CHOLESKY with implicit form,
+    permonmatorth.c:35-143): T B has orthonormal rows without ever
+    materializing B densely, and applies are one half-substitution scan."""
+
+    band: Any  # BandCholInv of the permuted BB' (ns=1 batch, padded)
+    perm: jax.Array  # RCM ordering p: (Pv)_i = v[p_i]
+    m_rows: int = struct.field(pytree_node=False)
+
+    @property
+    def shape(self):
+        return (self.m_rows, self.m_rows)
+
+    def _pad(self, v):
+        pad = self.band.shape[0] - self.m_rows
+        return jnp.concatenate([v, jnp.zeros(pad, v.dtype)])
+
+    def mv(self, x):
+        """T x = L^{-1} (P x)."""
+        return self.band.half_solve_lower(self._pad(x[self.perm]))[: self.m_rows]
+
+    def rmv(self, y):
+        """T' y = P' L^{-T} y."""
+        u = self.band.half_solve_upper(self._pad(y))[: self.m_rows]
+        return jnp.zeros_like(y).at[self.perm].set(u)
+
+
+def orth_rows_implicit_band(BE) -> Tuple[Any, BandOrthT]:
+    """Sparse implicit orthonormalization of a wide sparse constraint
+    operator: factor BB' (sparse product, RCM + block-tridiagonal Cholesky)
+    and return (Q, T) with Q = Product((T, BE)) lazily orthonormal — the
+    AIJ-native MatOrthRows path (permonmatorth.c on sparse storage), no
+    (m, n) densification.  Returns None when BE has no sparse structure."""
+    from ..core.band import band_chol_single
+    from ..core.linop import Product
+    from .sparse_rows import to_scipy
+
+    Bs = to_scipy(BE)
+    if Bs is None:
+        return None
+    S = (Bs @ Bs.T).tocsr()
+    band, perm = band_chol_single(S)
+    T = BandOrthT(band=band, perm=jnp.asarray(perm), m_rows=int(S.shape[0]))
+    return Product((T, BE)), T
 
 
 def orth_columns(A: jax.Array, method: str = "gs"):

@@ -49,6 +49,14 @@ def dense_rows(op: LinearOperator, dtype=None) -> jax.Array:
     return cols_of_gt
 
 
+#: row count past which a sparse-structured G gets a sparse (band) GG'
+#: factorization instead of the dense one — the reference always factors
+#: GG' sparse through MUMPS (qppf.c:213-333); here small coarse problems
+#: stay dense (better MXU shapes), wide gluing-sized ones go to the
+#: RCM-ordered block-tridiagonal Cholesky (core/band.py)
+SPARSE_GGT_THRESHOLD = 2048
+
+
 @struct.dataclass
 class Projector:
     G: Any  # LinearOperator (m, n)
@@ -58,6 +66,10 @@ class Projector:
     #: trades a triangular solve for one matmul per CP — better MXU shape
     #: when the coarse dimension is large
     ggt_inv: Optional[jax.Array] = None
+    #: sparse-path coarse factorization: band Cholesky of P GG' P' + the RCM
+    #: permutation (None on the dense path)
+    ggt_band: Any = None
+    cp_perm: Optional[jax.Array] = None
 
     @classmethod
     def create(
@@ -65,6 +77,7 @@ class Projector:
         G: LinearOperator,
         orthonormal_rows: Optional[bool] = None,
         explicit_inv: bool = False,
+        sparse: Optional[bool] = None,
     ) -> "Projector":
         if orthonormal_rows is None:
             # random-trial detection short-circuits the CP entirely
@@ -74,6 +87,18 @@ class Projector:
             orthonormal_rows = has_orthonormal_rows(G)
         if orthonormal_rows:
             return cls(G=G, ggt_chol=None, orthonormal_rows=True)
+        if sparse is None:
+            sparse = G.shape[0] > SPARSE_GGT_THRESHOLD
+        if sparse:
+            from ..core.band import band_chol_single
+            from .sparse_rows import to_scipy
+
+            Gs = to_scipy(G)
+            if Gs is not None:
+                S = (Gs @ Gs.T).tocsr()
+                band, perm = band_chol_single(S)
+                return cls(G=G, ggt_chol=None, ggt_band=band,
+                           cp_perm=jnp.asarray(perm))
         Gd = dense_rows(G)
         ggt = Gd @ Gd.T
         chol = jnp.linalg.cholesky(ggt)
@@ -87,6 +112,12 @@ class Projector:
         """Coarse-problem solve (GG')^{-1} v (QPPFApplyCP, qppf.c:610-645)."""
         if self.orthonormal_rows:
             return v
+        if self.ggt_band is not None:
+            m = self.G.shape[0]
+            vp = v[self.cp_perm]
+            pad = self.ggt_band.shape[0] - m
+            y = self.ggt_band.mv(jnp.concatenate([vp, jnp.zeros(pad, v.dtype)]))
+            return jnp.zeros_like(v).at[self.cp_perm].set(y[:m])
         if self.ggt_inv is not None:
             return self.ggt_inv @ v
         return jax.scipy.linalg.cho_solve((self.ggt_chol, True), v)

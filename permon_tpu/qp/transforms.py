@@ -27,6 +27,7 @@ from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..core.factor import make_inv
@@ -263,6 +264,26 @@ def orthonormalize_eq(qp: QP, method: str = "gs") -> Tuple[QP, PostSolve]:
         # INEXACT returns BE unchanged (permonmatorth.c); the exact projector
         # stays available for Knoll-style initial guesses
         return qp.replace(pf=Projector.create(qp.BE)), lambda s: s
+    if method in ("implicit", "cholesky") and qp.BE.shape[0] > 2048:
+        # wide sparse BE: implicit sparse-Cholesky orthonormalization — no
+        # (m, n) densification (the AIJ MatOrthRows path)
+        from .orth import orth_rows_implicit_band
+
+        qt = orth_rows_implicit_band(qp.BE)
+        if qt is not None:
+            Qop, Top = qt
+            cE = Top.mv(qp.cE) if qp.cE is not None else None
+            child = qp.replace(
+                BE=Qop, cE=cE,
+                pf=Projector.create(Qop, orthonormal_rows=True))
+
+            def post_band(sol: Solution) -> Solution:
+                lam = sol.lambda_E
+                if lam is not None:
+                    lam = Top.rmv(lam)
+                return sol.replace(lambda_E=lam)
+
+            return child, post_band
     Bd = dense_rows(qp.BE)
     # "implicit" keeps Q = T BE unassembled in the reference; with the small
     # dense constraint dimension here the Cholesky form is the same algebra
@@ -376,7 +397,14 @@ def eq_multiplicity_scaling(qp: QP) -> jax.Array:
     """Per-row scaling d with d_i = 1/sqrt(multiplicity) for gluing-type BE
     rows — the ddm variant of constraint scaling (QPGetEqMultiplicityScaling,
     qp.c:1632+).  Multiplicity of row i = its number of nonzeros (a gluing
-    row pairs copies of one dof)."""
+    row pairs copies of one dof).  Sparse operators are scanned via their
+    COO structure; only dense/matrix-free BE falls back to densification."""
+    from .sparse_rows import row_nnz
+
+    nnz = row_nnz(qp.BE)
+    if nnz is not None:
+        dt = jnp.result_type(float)
+        return jnp.asarray(1.0 / np.sqrt(np.maximum(nnz, 1)), dtype=dt)
     Bd = dense_rows(qp.BE)
     nnz = jnp.sum(jnp.abs(Bd) > 0, axis=1)
     return 1.0 / jnp.sqrt(jnp.maximum(nnz, 1).astype(Bd.dtype))
@@ -396,16 +424,26 @@ def scale(qp: QP, scale_O: Optional[str] = None, scale_E: Optional[str] = None) 
     elif scale_O is not None:
         raise ValueError(f"unsupported scale_O {scale_O!r}")
     if scale_E is not None and qp.BE is not None:
+        from .sparse_rows import row_sqnorm, scale_rows
+
         if scale_E == "rows_norm_2":
-            Bd = dense_rows(qp.BE)
-            dE = 1.0 / jnp.linalg.norm(Bd, axis=1)
+            sq = row_sqnorm(qp.BE)
+            if sq is not None:
+                dE = jnp.asarray(1.0 / np.sqrt(sq), dtype=qp.b.dtype)
+            else:
+                dE = 1.0 / jnp.linalg.norm(dense_rows(qp.BE), axis=1)
         elif scale_E == "ddm_multiplicity":
             dE = eq_multiplicity_scaling(qp)
-            Bd = dense_rows(qp.BE)
         else:
             raise ValueError(f"unsupported scale_E {scale_E!r}")
         cE = dE * qp.cE if qp.cE is not None else None
-        child = child.replace(BE=Dense.create(dE[:, None] * Bd), cE=cE, pf=None)
+        # same-type sparse row scaling (QPTScale operates on the AIJ/extension
+        # storage in the reference); only matrix-free BE densifies
+        try:
+            BEs = scale_rows(qp.BE, dE)
+        except TypeError:
+            BEs = Dense.create(dE[:, None] * dense_rows(qp.BE))
+        child = child.replace(BE=BEs, cE=cE, pf=None)
 
     dE_cap = dE
 
@@ -526,15 +564,18 @@ def split_be(qp: QP) -> Tuple[QP, PostSolve]:
     blocks, child BE = [Bg; Bd] (QPTSplitBE, qptransform.c:1829-1902).
     Row reordering only — the post-solve permutes lambda_E back."""
     assert qp.BE is not None
-    Bd_full = dense_rows(qp.BE)
-    nnz = jnp.sum(jnp.abs(Bd_full) > 0, axis=1)
-    import numpy as np
+    from .sparse_rows import permute_rows, row_nnz
 
-    nnz_h = np.asarray(nnz)
+    nnz_h = row_nnz(qp.BE)
+    if nnz_h is None:
+        nnz_h = np.asarray(jnp.sum(jnp.abs(dense_rows(qp.BE)) > 0, axis=1))
     glue_idx = np.flatnonzero(nnz_h >= 2)
     dir_idx = np.flatnonzero(nnz_h == 1)
     perm = np.concatenate([glue_idx, dir_idx])
-    Bnew = Dense.create(Bd_full[perm])
+    try:
+        Bnew = permute_rows(qp.BE, perm)
+    except TypeError:
+        Bnew = Dense.create(dense_rows(qp.BE)[jnp.asarray(perm)])
     cE = qp.cE[jnp.asarray(perm)] if qp.cE is not None else None
     child = qp.replace(BE=Bnew, cE=cE, pf=None)
     inv_perm = np.argsort(perm)
@@ -553,16 +594,26 @@ def remove_gluing_of_dirichlet_dofs(qp: QP, dirichlet_dofs) -> Tuple[QP, PostSol
     MatRemoveGluingOfDirichletDofs, permonmatfetiutils.c:1-167).  The
     post-solve zero-pads lambda_E back to the parent's row count."""
     assert qp.BE is not None
-    import numpy as np
+    from .sparse_rows import restrict_rows, to_coo
 
-    Bd_full = np.asarray(dense_rows(qp.BE))
-    mask = np.zeros(Bd_full.shape[1], dtype=bool)
-    mask[np.asarray(dirichlet_dofs, dtype=np.int64)] = True
-    keep = np.flatnonzero(~(np.abs(Bd_full[:, mask]) > 0).any(axis=1))
-    Bnew = Dense.create(jnp.asarray(Bd_full[keep]))
+    coo = to_coo(qp.BE)
+    if coo is not None:
+        rows, cols, vals, (m_parent, n) = coo
+        mask = np.zeros(n, dtype=bool)
+        mask[np.asarray(dirichlet_dofs, dtype=np.int64)] = True
+        touched = np.zeros(m_parent, dtype=bool)
+        touched[rows[mask[cols] & (vals != 0)]] = True
+        keep = np.flatnonzero(~touched)
+        Bnew = restrict_rows(qp.BE, keep)
+    else:
+        Bd_full = np.asarray(dense_rows(qp.BE))
+        m_parent = Bd_full.shape[0]
+        mask = np.zeros(Bd_full.shape[1], dtype=bool)
+        mask[np.asarray(dirichlet_dofs, dtype=np.int64)] = True
+        keep = np.flatnonzero(~(np.abs(Bd_full[:, mask]) > 0).any(axis=1))
+        Bnew = Dense.create(jnp.asarray(Bd_full[keep]))
     cE = qp.cE[jnp.asarray(keep)] if qp.cE is not None else None
     child = qp.replace(BE=Bnew, cE=cE, pf=None)
-    m_parent = Bd_full.shape[0]
 
     def post(sol: Solution) -> Solution:
         if sol.lambda_E is None:
