@@ -46,6 +46,7 @@ from .core.dia import Dia
 from .core.matutils import make_operator
 from .core.eig import max_eigenvalue
 from .core.convergence import ConvergedReason, Tolerances
+from .core.precision import MixedPrecision, with_precision
 from .core import vec
 from .qp.qp import QP
 from .solvers.driver import make_solver, solve
@@ -72,6 +73,8 @@ __all__ = [
     "max_eigenvalue",
     "ConvergedReason",
     "Tolerances",
+    "MixedPrecision",
+    "with_precision",
     "vec",
     "QP",
     "solve",

@@ -1,0 +1,100 @@
+"""Mixed-precision policy (SURVEY 7 item 7).
+
+The reference computes everything in MPI double precision.  On TPU the
+profitable policy is different: the MXU's native throughput is
+bf16/f32 and HBM traffic halves with f32 storage, while Krylov
+recurrences and convergence tests want f64.  The policy implemented
+here keeps the expensive part — operator STORAGE and matvecs — in f32
+(or bf16), and the cheap-but-sensitive part — dot products, recurrence
+scalars, iterates — in f64:
+
+- ``cast_floats(op, dtype)`` re-stores any operator pytree's float
+  leaves in the given dtype (index arrays untouched);
+- :class:`MixedPrecision` wraps a low-precision operator behind an f64
+  interface: ``mv`` casts the input down, runs the stored-precision
+  matvec, and casts the result back up, so every solver dot product and
+  vector recurrence stays f64;
+- ``with_precision(op, policy)`` is the user knob: ``'f64'`` (default,
+  exact reference parity), ``'mixed'`` (f32 matvec + f64 reductions —
+  iteration-count parity validated in tests/test_precision.py),
+  ``'f32'`` (everything f32 — fastest, for throughput-bound production
+  runs that tolerate ~1e-6 relative accuracy).
+
+``QP.with_precision`` applies the policy to the Hessian only (the hot
+operator); ``FetiOptions(precision=...)`` applies it to the dual
+operator F = B K+ B' after dualization, keeping the coarse projector in
+f64 so the dual iterates stay in the constraint null space to f64
+accuracy.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .linop import LinearOperator
+
+POLICIES = ("f64", "mixed", "f32", "bf16_mixed")
+
+
+def cast_floats(tree, dtype):
+    """Re-store every float leaf of a pytree in ``dtype`` (ints/bools kept)."""
+    def c(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(c, tree)
+
+
+def _storage_dtype(tree):
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.dtype
+    return jnp.result_type(float)
+
+
+@struct.dataclass
+class MixedPrecision(LinearOperator):
+    """f64 interface over a low-precision operator: x -> up(A_lo(down(x))).
+
+    The wrapped matvec runs at storage precision (f32/bf16 MXU + halved
+    HBM traffic); callers see f64 so Krylov dots and recurrences keep
+    full accuracy.  The residual the solver converges on is the exact
+    residual of the PERTURBED operator — iteration-count parity with
+    f64 on the shipped examples is asserted in tests/test_precision.py.
+    """
+
+    inner: Any
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    def _down(self, x):
+        return x.astype(_storage_dtype(self.inner))
+
+    def mv(self, x):
+        return self.inner.mv(self._down(x)).astype(jnp.result_type(float))
+
+    def rmv(self, x):
+        return self.inner.rmv(self._down(x)).astype(jnp.result_type(float))
+
+    def diagonal(self):
+        return self.inner.diagonal().astype(jnp.result_type(float))
+
+
+def with_precision(op, policy: str):
+    """Apply a precision policy to an operator (module docstring)."""
+    if policy == "f64":
+        return op
+    if policy == "f32":
+        return cast_floats(op, jnp.float32)
+    if policy == "mixed":
+        return MixedPrecision(inner=cast_floats(op, jnp.float32))
+    if policy == "bf16_mixed":
+        return MixedPrecision(inner=cast_floats(op, jnp.bfloat16))
+    raise ValueError(f"unknown precision policy {policy!r}; one of {POLICIES}")

@@ -73,11 +73,9 @@ class FetiProblem:
     def floating_mask(self, tol: float = 1e-10) -> np.ndarray:
         if self.floating is not None:
             return np.asarray(self.floating, dtype=bool)
-        out = np.zeros(self.ns, dtype=bool)
-        for s in range(self.ns):
-            w = np.linalg.eigvalsh(self.K_blocks[s])
-            out[s] = w[0] <= tol * max(abs(w[-1]), 1.0)
-        return out
+        # one batched LAPACK call over all blocks (no O(ns) python loop)
+        w = np.linalg.eigvalsh(np.asarray(self.K_blocks))
+        return w[:, 0] <= tol * np.maximum(np.abs(w[:, -1]), 1.0)
 
     @property
     def ns(self) -> int:

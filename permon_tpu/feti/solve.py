@@ -68,6 +68,11 @@ class FetiOptions:
     #: applies on TPU at the cost of a denser setup; the f64 parity tests
     #: keep the triangular-solve path (default)
     throughput: bool = False
+    #: precision policy for the dual operator F = B K+ B' (core/precision.py):
+    #: 'f64' (default, exact parity), 'mixed' (f32 matvec + f64 reductions),
+    #: 'f32'.  The coarse projector stays f64 either way so dual iterates
+    #: remain in the constraint null space to full accuracy.
+    precision: str = "f64"
     smalxe: SMALXEOptions = dataclasses.field(default_factory=SMALXEOptions)
 
 
@@ -161,6 +166,10 @@ def make_blockdiag_kplus(
     rho_s = lambda_max(K_s), Q_s = R_s R_s' from the block's nullspace basis
     (default: the normalized constant mode over real dofs — Poisson)."""
     Kreg = K_blocks.copy()
+    # one batched LAPACK call for all rho_s = lambda_max(K_s) (the
+    # reference's MatGetMaxEigenvalue per block, permonmatregularize.c);
+    # the sparse large path (feti/large.py) uses Gershgorin bounds instead
+    rho_all = np.linalg.eigvalsh(np.asarray(K_blocks))[:, -1]
     for s in range(prob.ns):
         if null_bases is not None:
             Q = null_bases[s]
@@ -172,8 +181,7 @@ def make_blockdiag_kplus(
             real = np.flatnonzero(prob.l2g[s] >= 0)
             Q = np.zeros((prob.nl, 1))
             Q[real, 0] = 1.0 / np.sqrt(len(real))
-        rho = float(np.linalg.eigvalsh(K_blocks[s])[-1])
-        Kreg[s] = Kreg[s] + rho * (Q @ Q.T)
+        Kreg[s] = Kreg[s] + float(rho_all[s]) * (Q @ Q.T)
     return BlockDiagCholInv.from_blocks(jnp.asarray(Kreg), explicit=explicit)
 
 
@@ -238,6 +246,8 @@ def _feti_solve_impl(
     dual, post_d = dualize(qp, kplus=kplus)
     steps.append((dual, post_d))
     cur = dual
+    if opts.precision != "f64":
+        cur = cur.with_precision(opts.precision)
 
     if opts.orth_G and cur.BE is not None:
         cur, post_o = orthonormalize_eq(cur, opts.orth_G)
@@ -264,7 +274,7 @@ def _feti_solve_impl(
         cur, post_p = enforce_eq_by_projector(cur)
         steps.append((cur, post_p))
         if cur.box is None and cur.BE is None:
-            if opts.throughput and precond is None:
+            if opts.throughput and precond is None and opts.precision == "f64":
                 # leaf-space projected CG (feti/leaf.py): the whole dual
                 # iteration in the redundant (ns, k) representation — a
                 # single static partner gather of index work per F apply

@@ -1,1 +1,5 @@
 from .dist import make_mesh, shard_extension, shard_qp
+from .overlap import (
+    LeafOverlapPlan, OverlappedLeafOperator, feti_dual_apply_hier,
+    leaf_apply_overlapped, make_mesh2, shard_qp2,
+)

@@ -100,7 +100,9 @@ class Projector:
                 return cls(G=G, ggt_chol=None, ggt_band=band,
                            cp_perm=jnp.asarray(perm))
         Gd = dense_rows(G)
-        ggt = Gd @ Gd.T
+        from ..core.detred import gram
+
+        ggt = gram(Gd)  # fixed-tree reduction in deterministic mode
         chol = jnp.linalg.cholesky(ggt)
         inv = None
         if explicit_inv:

@@ -56,6 +56,14 @@ class QP:
     def n(self) -> int:
         return self.A.shape[1]
 
+    def with_precision(self, policy: str) -> "QP":
+        """Apply a mixed-precision policy to the Hessian (the hot operator);
+        rhs, constraints and solver reductions stay f64.  See
+        :mod:`permon_tpu.core.precision`."""
+        from ..core.precision import with_precision
+
+        return self.replace(A=with_precision(self.A, policy))
+
     def initial_vector(self) -> jax.Array:
         if self.x0 is not None:
             return jnp.asarray(self.x0, dtype=self.b.dtype)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.convergence import Tolerances, converged_default
+from ..core import detred
 from ..qp.qp import QP
 
 
@@ -43,14 +44,14 @@ def cg(
     A, b = qp.A, qp.b
     x0 = qp.initial_vector()
 
-    norm_rhs = jnp.linalg.norm(b)
+    norm_rhs = detred.norm(b)
     ttol = jnp.maximum(tol.rtol * norm_rhs, tol.atol)
     P = project if project is not None else (lambda v: v)
     M = precond if precond is not None else (lambda v: v)
 
     def body(carry):
         x, r, w, z, p, wz, it, reason, nmv = carry
-        rnorm = jnp.linalg.norm(w)
+        rnorm = detred.norm(w)
         if monitor:
             jax.debug.print("{it:>3} CG ||Pr||={r:.10e}", it=it, r=rnorm)
         reason = converged_default(
@@ -60,7 +61,7 @@ def cg(
 
         def step(_):
             Ap = A.mv(p)
-            pAp = jnp.vdot(p, Ap)
+            pAp = detred.vdot(p, Ap)
             a = wz / pAp
             # breakdown handling a la PETSc KSPSolve_CG: a nonpositive or
             # non-finite curvature means the (projected) residual has hit
@@ -74,7 +75,7 @@ def cg(
             w2 = P(r2)
             z2 = M(w2)
             y2 = P(z2) if precond is not None else z2
-            wz2 = jnp.vdot(w2, y2)
+            wz2 = detred.vdot(w2, y2)
             beta = jnp.where(broke, 0.0, wz2 / wz)
             p2 = y2 + beta * p
             reason2 = jnp.where(broke, jnp.int32(3), reason)
@@ -86,10 +87,10 @@ def cg(
     w0 = P(r0)
     z0 = M(w0)
     y0 = P(z0) if precond is not None else z0
-    carry0 = (x0, r0, w0, z0, y0, jnp.vdot(w0, y0), jnp.int32(0), jnp.int32(0), jnp.int32(1))
+    carry0 = (x0, r0, w0, z0, y0, detred.vdot(w0, y0), jnp.int32(0), jnp.int32(0), jnp.int32(1))
     x, r, w, *_rest = out = jax.lax.while_loop(lambda c: c[7] == 0, body, carry0)
     _, _, w, _, _, _, it, reason, nmv = out
-    return CGResult(x=x, reason=reason, iterations=it, rnorm=jnp.linalg.norm(w), nmv=nmv)
+    return CGResult(x=x, reason=reason, iterations=it, rnorm=detred.norm(w), nmv=nmv)
 
 
 def pcpg(

@@ -154,9 +154,28 @@ class TestFetiEx71:
         assert int(res.result.reason) == ConvergedReason.CONVERGED_RTOL
         its = int(res.result.iterations)
         # exact (66/26) on a single-device layout; under the 8-virtual-device
-        # test mesh XLA splits reductions differently and the f64 rounding
-        # order shifts this longest CG run by up to 2 iterations
+        # test mesh XLA retiles the GG' Gram reduction and the f64 rounding
+        # order shifts this longest CG run by up to 2 iterations (the pinned
+        # oracle lives in test_elasticity_3d_deterministic below)
         assert abs(its - ref_its) <= 2
+
+    @pytest.mark.parametrize("pc,det_its", [("none", 64), ("lumped", 26)])
+    def test_elasticity_3d_deterministic(self, pc, det_its):
+        """Deterministic-reduction mode (core/detred.py): the fixed-tree
+        GG' Gram + dots pin the elasticity iteration counts to exactly
+        64/26 on ANY device count (verified 1-device vs 8-virtual-device),
+        so sharded numerics regressions cannot hide inside the +-2 band
+        of the default mode."""
+        from examples.feti_ex71 import main_elasticity
+        from permon_tpu.core.detred import set_deterministic
+
+        set_deterministic(True)
+        try:
+            prob, res = main_elasticity(pc, view=False)
+        finally:
+            set_deterministic(False)
+        assert int(res.result.reason) == ConvergedReason.CONVERGED_RTOL
+        assert int(res.result.iterations) == det_its
 
     def test_lumped_preconditioner_helps(self):
         from examples.feti_ex71 import build

@@ -1,0 +1,68 @@
+"""Mixed-precision policy (core/precision.py): f32 matvec + f64
+reductions must keep iteration-count parity with the full-f64 runs on
+the shipped examples (SURVEY 7 item 7; oracles as in test_mprgp_ex1 /
+test_feti)."""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+import permon_tpu as pt
+from permon_tpu.core.convergence import Tolerances
+from permon_tpu.core.precision import MixedPrecision, cast_floats, with_precision
+
+
+def _ex1_qp(n=100):
+    from examples.ex1 import build
+
+    A, b, lb = build(n)
+    return pt.QP.create(sp.csr_matrix(A), b, lb=lb)
+
+
+def test_mixed_wrapper_accuracy():
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(64, 64))
+    M = M @ M.T + 64 * np.eye(64)
+    op = pt.aslinearoperator(jnp.asarray(M))
+    x = jnp.asarray(rng.normal(size=64))
+    y64 = op.mv(x)
+    mixed = with_precision(op, "mixed")
+    ym = mixed.mv(x)
+    assert ym.dtype == jnp.float64
+    # f32 matvec: ~1e-7 relative accuracy, not f64-exact
+    rel = float(jnp.linalg.norm(ym - y64) / jnp.linalg.norm(y64))
+    assert 0 < rel < 1e-5
+
+
+def test_ex1_mprgp_iteration_parity_mixed():
+    """ex1 n=100 converges in 181 MPRGP iterations in f64 (reference
+    oracle ex1_1.out); the mixed policy must reproduce the count."""
+    qp = _ex1_qp(100)
+    res64 = pt.mprgp(qp, tol=Tolerances(max_it=10000))
+    resmx = pt.mprgp(qp.with_precision("mixed"), tol=Tolerances(max_it=10000))
+    assert int(res64.iterations) == 181
+    assert int(resmx.iterations) == int(res64.iterations)
+    np.testing.assert_allclose(
+        np.asarray(resmx.x), np.asarray(res64.x), atol=1e-5
+    )
+
+
+def test_feti_ex1_projected_parity_mixed():
+    """The projected TFETI pipeline (feti ex1, 4 subdomains) keeps its
+    f64 iteration count under FetiOptions(precision='mixed')."""
+    from examples.feti_ex1 import build
+    from permon_tpu.feti import FetiOptions
+    from permon_tpu.feti.solve import feti_solve
+
+    prob = build(ns=4, ne=5)
+    r64 = feti_solve(prob, FetiOptions(), tol=Tolerances())
+    rmx = feti_solve(prob, FetiOptions(precision="mixed"), tol=Tolerances())
+    assert int(rmx.result.iterations) == int(r64.result.iterations)
+    np.testing.assert_allclose(rmx.x_global, r64.x_global, atol=1e-5)
+
+
+def test_cast_floats_keeps_indices():
+    op = pt.Ell.from_scipy(sp.random(32, 32, density=0.1, format="csr"))
+    lo = cast_floats(op, jnp.float32)
+    assert lo.vals.dtype == jnp.float32
+    assert lo.cols.dtype == op.cols.dtype  # index arrays untouched
