@@ -66,6 +66,21 @@ def has_orthonormal_rows(A, tol: float = 1e-10) -> bool:
     )
 
 
+def mult_equal(A, B, n_trials: int = 3, tol: float = 1e-8) -> bool:
+    """Random-trial test A x == B x (MatMultEqual; used by the reference's
+    debug-mode generalized-inverse checks, qptransform.c:1060-1081)."""
+    A = aslinearoperator(A)
+    B = aslinearoperator(B)
+    if A.shape != B.shape:
+        return False
+    xs = _probe_vecs(A.shape[1], n_trials)
+    return all(
+        float(jnp.linalg.norm(A.mv(x) - B.mv(x)))
+        <= tol * max(float(jnp.linalg.norm(B.mv(x))), 1.0)
+        for x in xs
+    )
+
+
 def has_orthonormal_columns(A, tol: float = 1e-10) -> bool:
     A = aslinearoperator(A)
     xs = _probe_vecs(A.shape[1], _PROBE_TRIALS)

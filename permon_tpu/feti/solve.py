@@ -57,7 +57,9 @@ class FetiOptions:
     dirichlet_by_B: bool = True  # enforce Dirichlet by constraint rows (TFETI)
     project: bool = True  # projector pipeline vs SMALXE (-project)
     pc_dual: str = "none"  # 'none' | 'lumped'
-    orth_G: Optional[str] = None  # None | 'gs' | 'cholesky' | 'implicit' (dual_qp_E_orth_type)
+    #: None | 'gs' | 'gs_lingen' | 'cholesky' | 'implicit' | 'inexact'
+    #: (-dual_qp_E_orth_type; 'gslingen' in the reference's MatOrthTypes[])
+    orth_G: Optional[str] = None
     #: nullspace source: 'constant' (analytic constant modes, Poisson),
     #: 'numeric' (per-block eigendecomposition, the MUMPS null-pivot analog),
     #: 'rbm' (rigid body modes from prob.coords, elasticity)

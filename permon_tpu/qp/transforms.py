@@ -31,7 +31,10 @@ import numpy as np
 from flax import struct
 
 from ..core.factor import make_inv
-from ..core.linop import Dense, Penalized, Product, Transpose, VStack, aslinearoperator
+from ..sys import tracing
+from ..core.linop import (
+    Dense, Penalized, Product, Scaled, Transpose, VStack, aslinearoperator,
+)
 from ..qpc.box import BoxConstraint
 from .projector import ProjOp, Projector, dense_rows
 from .qp import QP
@@ -122,6 +125,17 @@ def dualize(
         P_R = ProjOp(pf=Projector.create(Transpose(qp.R)))
         factors = (P_R, Kplus, P_R) if kplus_mode == "mp" else (P_R, Kplus)
         Kplus = Product(factors)
+        if tracing.debug_enabled:
+            # runtime generalized-inverse self-checks — the reference's
+            # PermonDebugEnabled block (qptransform.c:1060-1081): K K+ K == K
+            # (left inverse); K+ K K+ == K+ additionally for Moore-Penrose
+            from ..core.matutils import mult_equal
+
+            assert mult_equal(Product((A, Kplus, A)), A), \
+                "Kplus is not a left generalized inverse (K Kplus K != K)"
+            if kplus_mode == "mp":
+                assert mult_equal(Product((Kplus, A, Kplus)), Kplus), \
+                    "Kplus is not Moore-Penrose (Kplus K Kplus != Kplus)"
     F = Product((B, Kplus, Transpose(B)))
 
     d = B.mv(Kplus.mv(b)) - c
@@ -208,6 +222,14 @@ def enforce_eq_by_projector(qp: QP) -> Tuple[QP, PostSolve]:
     assert qp.cE is None, "apply homogenize_eq before enforce_eq_by_projector"
     qp = ensure_pf(qp)
     P = ProjOp(pf=qp.pf)
+    if tracing.debug_enabled:
+        # projector self-checks in debug mode: P idempotent, BE P == 0
+        from ..core.matutils import mult_equal
+
+        assert mult_equal(Product((P, P)), P), "P is not idempotent"
+        assert mult_equal(
+            Product((qp.BE, P)), Scaled(inner=qp.BE, scale=0.0)
+        ), "BE P != 0 (P does not project onto ker BE)"
     eqonly = qp.BI is None and qp.box is None
     if eqonly:
         newA = Product((P, qp.A))

@@ -117,6 +117,34 @@ def tolerances_from_options(opts: Options):
     )
 
 
+def feti_options_from_options(opts: Options):
+    """Map reference-style FETI option keys onto :class:`FetiOptions`
+    (QPFetiSetFromOptions + the dualize/orth prefixes):
+
+    -feti_gluing_type {nonred|full|orth}      (qpfeti.c:322)
+    -dual_pc_dual_type {none|lumped}          (pcdual.c)
+    -dual_qp_E_orth_type {gs|gslingen|cholesky|implicit|inexact}
+                                              (permonmatorth.c:6)
+    -project {0|1}, -feti_scale, -feti_precision {f64|mixed|f32}
+    """
+    from ..feti.solve import FetiOptions
+
+    fo = FetiOptions()
+    orth = opts.get("dual_qp_E_orth_type", fo.orth_G)
+    if orth == "gslingen":  # the MatOrthTypes[] string for MAT_ORTH_GS_LINGEN
+        orth = "gs_lingen"
+    return FetiOptions(
+        gluing=str(opts.get("feti_gluing_type", fo.gluing)),
+        scale=bool(opts.get("feti_scale", fo.scale)),
+        project=bool(opts.get("project", fo.project)),
+        pc_dual=str(opts.get("dual_pc_dual_type", fo.pc_dual)),
+        orth_G=orth,
+        nullspace=str(opts.get("feti_nullspace", fo.nullspace)),
+        throughput=bool(opts.get("feti_throughput", fo.throughput)),
+        precision=str(opts.get("feti_precision", fo.precision)),
+    )
+
+
 def solve_from_options(qp, opts: Options, **extra):
     """QPSSetFromOptions + QPSSolve: pick type and per-solver options from
     the database and run (qps.c:422-455 default-type rule applies when

