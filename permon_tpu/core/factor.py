@@ -102,6 +102,89 @@ class BlockDiagCholInv(LinearOperator):
 
 
 @struct.dataclass
+class RaggedBlockDiagCholInv(LinearOperator):
+    """Bucketed batched Cholesky inverse for HETEROGENEOUS block sizes.
+
+    The uniform :class:`BlockDiagCholInv` pads every block to nl_max and
+    pays O(nl_max^3) factor + O(nl_max^2) solve work per block; on a
+    decomposition with mixed subdomain sizes that padding tax is real
+    (the reference never pays it — each rank factors its own size,
+    matinv.c:551-575).  Here blocks are grouped at setup into size
+    buckets (true size rounded up to ``round_to``); each bucket is one
+    batched factorization/solve at ITS size.  The operator keeps the
+    flat (ns*nl_max) vector interface — padding dofs carry unit
+    diagonals, so they pass through identically to the uniform path.
+    """
+
+    #: per bucket: (idx (nb_i,), chols (nb_i, bs_i, bs_i), invs or None)
+    buckets: Tuple[Any, ...]
+    ns: int = struct.field(pytree_node=False)
+    nl: int = struct.field(pytree_node=False)  # padded (interface) block size
+
+    @property
+    def shape(self):
+        return (self.ns * self.nl, self.ns * self.nl)
+
+    @classmethod
+    def from_blocks(cls, blocks: jax.Array, sizes, round_to: int = 32,
+                    explicit: bool = False) -> "RaggedBlockDiagCholInv":
+        """``blocks`` (ns, nl, nl) unit-diagonal padded; ``sizes`` (ns,)
+        true block sizes (padding must be a trailing suffix)."""
+        import numpy as np
+
+        ns, nl, _ = blocks.shape
+        sizes = np.asarray(sizes)
+        bucket_of = np.minimum((sizes + round_to - 1) // round_to * round_to, nl)
+        buckets = []
+        for bs in sorted(set(int(b) for b in bucket_of)):
+            idx = np.flatnonzero(bucket_of == bs)
+            sub = blocks[jnp.asarray(idx)][:, :bs, :bs]
+            chols = jnp.linalg.cholesky(sub)
+            invs = None
+            if explicit:
+                eye = jnp.broadcast_to(jnp.eye(bs, dtype=blocks.dtype), sub.shape)
+                invs = jax.vmap(
+                    lambda c, e: jax.scipy.linalg.cho_solve((c, True), e)
+                )(chols, eye)
+            buckets.append((jnp.asarray(idx), chols, invs))
+        return cls(buckets=tuple(buckets), ns=int(ns), nl=int(nl))
+
+    def mv(self, x):
+        xb = x.reshape(self.ns, self.nl)
+        out = xb  # padding dofs: unit diagonal -> identity pass-through
+        for idx, chols, invs in self.buckets:
+            bs = chols.shape[1]
+            xi = xb[idx, :bs]
+            if invs is not None:
+                yi = jnp.einsum("sij,sj->si", invs, xi)
+            else:
+                yi = jax.vmap(
+                    lambda c, v: jax.scipy.linalg.cho_solve((c, True), v)
+                )(chols, xi)
+            out = out.at[idx, :bs].set(yi)
+        return out.reshape(-1)
+
+    rmv = mv
+
+    def explicitly(self) -> "BlockDiagCholInv":
+        """Densify to the uniform explicit-inverse form (ns, nl, nl) for
+        consumers that want one batched GEMV (the leaf throughput path)."""
+        eye = jnp.eye(self.nl, dtype=self.buckets[0][1].dtype)
+        invs = jnp.broadcast_to(eye, (self.ns, self.nl, self.nl))
+        chols = jnp.broadcast_to(eye, (self.ns, self.nl, self.nl))
+        for idx, ch, iv in self.buckets:
+            bs = ch.shape[1]
+            if iv is None:
+                e = jnp.broadcast_to(jnp.eye(bs, dtype=ch.dtype), ch.shape)
+                iv = jax.vmap(lambda c, z: jax.scipy.linalg.cho_solve((c, True), z))(ch, e)
+            invs = invs.at[idx, :bs, :bs].set(iv)
+            chols = chols.at[idx, :bs, :bs].set(ch)
+        return BlockDiagCholInv(
+            chols=chols, shape=(self.ns * self.nl, self.ns * self.nl), invs=invs
+        )
+
+
+@struct.dataclass
 class IterativeInv(LinearOperator):
     """K+ as a nested CG solve — the MATINV fallback for matrix-free
     operators where no factorization is available (the reference's

@@ -158,15 +158,36 @@ def assemble_qp(prob: FetiProblem, opts: FetiOptions = FetiOptions()):
     return qp, K_blocks, fixed_mask, null_bases
 
 
+def ragged_sizes(l2g: np.ndarray) -> Optional[np.ndarray]:
+    """True per-subdomain sizes when padding (-1 entries) is a trailing
+    suffix of every row; None when sizes are uniform or padding is
+    interleaved (the uniform batched path handles those)."""
+    real = np.asarray(l2g) >= 0
+    sizes = real.sum(axis=1)
+    if sizes.min() == sizes.max():
+        return None
+    # the padding must be a suffix for the bucket slicing to be valid
+    for s in range(l2g.shape[0]):
+        if not np.all(real[s, : sizes[s]]) or np.any(real[s, sizes[s]:]):
+            return None
+    return sizes
+
+
 def make_blockdiag_kplus(
     K_blocks: np.ndarray, fixed_mask, prob: FetiProblem, null_bases=None,
-    explicit: bool = False,
+    explicit: bool = False, sizes=None,
 ):
     """Batched per-block regularized Cholesky K+ (the MAT_INV_BLOCKDIAG path
     with MatRegularize, matinv.c:435-590 + permonmatregularize.c).
 
     rho_s = lambda_max(K_s), Q_s = R_s R_s' from the block's nullspace basis
-    (default: the normalized constant mode over real dofs — Poisson)."""
+    (default: the normalized constant mode over real dofs — Poisson).
+
+    ``sizes`` (or heterogeneous trailing padding in ``prob.l2g``) routes to
+    the bucketed :class:`~permon_tpu.core.factor.RaggedBlockDiagCholInv`,
+    which factors each size bucket at its true size instead of paying the
+    nl_max padding tax (the reference factors per-rank sizes, never padded
+    ones, matinv.c:551-575)."""
     Kreg = K_blocks.copy()
     # one batched LAPACK call for all rho_s = lambda_max(K_s) (the
     # reference's MatGetMaxEigenvalue per block, permonmatregularize.c);
@@ -184,6 +205,14 @@ def make_blockdiag_kplus(
             Q = np.zeros((prob.nl, 1))
             Q[real, 0] = 1.0 / np.sqrt(len(real))
         Kreg[s] = Kreg[s] + float(rho_all[s]) * (Q @ Q.T)
+    if sizes is None:
+        sizes = ragged_sizes(prob.l2g)
+    if sizes is not None:
+        from ..core.factor import RaggedBlockDiagCholInv
+
+        return RaggedBlockDiagCholInv.from_blocks(
+            jnp.asarray(Kreg), sizes, explicit=explicit
+        )
     return BlockDiagCholInv.from_blocks(jnp.asarray(Kreg), explicit=explicit)
 
 
