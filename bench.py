@@ -130,13 +130,23 @@ def main():
 
     A1, b1, lb1 = build(10000)
     mprgp_metrics = {}
-    for dt_name, dt in (("f64", jnp.float64), ("f32", jnp.float32)):
+    for dt_name, dt in (
+        ("f64", jnp.float64),
+        ("mixed", None),  # f32 SpMV + f64 dots (core/precision.py)
+        ("f32", jnp.float32),
+    ):
         op64 = pt.make_operator(sp.csr_matrix(A1))
-        op1 = op64.replace(data=op64.data.astype(dt))
-        qp = pt.QP(
-            A=op1, b=jnp.asarray(b1, dt),
-            box=BoxConstraint.create(len(b1), lb=jnp.asarray(lb1, dt)),
-        )
+        if dt_name == "mixed":
+            qp = pt.QP(
+                A=op64, b=jnp.asarray(b1, jnp.float64),
+                box=BoxConstraint.create(len(b1), lb=jnp.asarray(lb1, jnp.float64)),
+            ).with_precision("mixed")
+        else:
+            op1 = op64.replace(data=op64.data.astype(dt))
+            qp = pt.QP(
+                A=op1, b=jnp.asarray(b1, dt),
+                box=BoxConstraint.create(len(b1), lb=jnp.asarray(lb1, dt)),
+            )
         solver = pt.make_solver(tol=pt.Tolerances(max_it=500))
         res = solver(qp)  # warm-up/compile
         _ = float(jnp.sum(res.x))

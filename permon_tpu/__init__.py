@@ -47,6 +47,7 @@ from .core.matutils import make_operator
 from .core.eig import max_eigenvalue
 from .core.convergence import ConvergedReason, Tolerances
 from .core.precision import MixedPrecision, with_precision
+from .core.detred import set_deterministic
 from .core import vec
 from .qp.qp import QP
 from .solvers.driver import make_solver, solve
@@ -75,6 +76,7 @@ __all__ = [
     "Tolerances",
     "MixedPrecision",
     "with_precision",
+    "set_deterministic",
     "vec",
     "QP",
     "solve",

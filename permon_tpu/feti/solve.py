@@ -75,6 +75,13 @@ class FetiOptions:
     #: 'f32'.  The coarse projector stays f64 either way so dual iterates
     #: remain in the constraint null space to full accuracy.
     precision: str = "f64"
+    #: bucket heterogeneous subdomain sizes in the K+ factorization
+    #: (core/factor.py:RaggedBlockDiagCholInv) instead of padding to nl_max
+    ragged_kplus: bool = False
+    #: a jax.sharding.Mesh: with throughput=True, the leaf-space dual
+    #: iteration runs the ppermute-overlapped boundary exchange over it
+    #: (parallel/overlap.py — the PetscSF Begin/End comm/compute overlap)
+    mesh: Optional[Any] = None
     smalxe: SMALXEOptions = dataclasses.field(default_factory=SMALXEOptions)
 
 
@@ -183,11 +190,14 @@ def make_blockdiag_kplus(
     rho_s = lambda_max(K_s), Q_s = R_s R_s' from the block's nullspace basis
     (default: the normalized constant mode over real dofs — Poisson).
 
-    ``sizes`` (or heterogeneous trailing padding in ``prob.l2g``) routes to
-    the bucketed :class:`~permon_tpu.core.factor.RaggedBlockDiagCholInv`,
-    which factors each size bucket at its true size instead of paying the
-    nl_max padding tax (the reference factors per-rank sizes, never padded
-    ones, matinv.c:551-575)."""
+    ``sizes`` (opt-in; e.g. ``ragged_sizes(prob.l2g)`` or
+    ``FetiOptions(ragged_kplus=True)``) routes to the bucketed
+    :class:`~permon_tpu.core.factor.RaggedBlockDiagCholInv`, which factors
+    each size bucket at its true size instead of paying the nl_max padding
+    tax (the reference factors per-rank sizes, never padded ones,
+    matinv.c:551-575).  Opt-in because the bucketed factorization rounds
+    differently from the padded one — f64-parity paths keep the uniform
+    batched factor."""
     Kreg = K_blocks.copy()
     # one batched LAPACK call for all rho_s = lambda_max(K_s) (the
     # reference's MatGetMaxEigenvalue per block, permonmatregularize.c);
@@ -205,8 +215,6 @@ def make_blockdiag_kplus(
             Q = np.zeros((prob.nl, 1))
             Q[real, 0] = 1.0 / np.sqrt(len(real))
         Kreg[s] = Kreg[s] + float(rho_all[s]) * (Q @ Q.T)
-    if sizes is None:
-        sizes = ragged_sizes(prob.l2g)
     if sizes is not None:
         from ..core.factor import RaggedBlockDiagCholInv
 
@@ -235,6 +243,7 @@ class FetiSolver:
         self.kplus = make_blockdiag_kplus(
             self._K_blocks, self._fixed_mask, prob, self._null_bases,
             explicit=opts.throughput,
+            sizes=ragged_sizes(prob.l2g) if opts.ragged_kplus else None,
         )
 
     def solve(self, b_loc=None, tol: Tolerances = Tolerances()) -> "FetiResult":
@@ -260,7 +269,8 @@ def feti_solve(
 ) -> FetiResult:
     qp, K_blocks, fixed_mask, null_bases = assemble_qp(prob, opts)
     kplus = make_blockdiag_kplus(
-        K_blocks, fixed_mask, prob, null_bases, explicit=opts.throughput
+        K_blocks, fixed_mask, prob, null_bases, explicit=opts.throughput,
+        sizes=ragged_sizes(prob.l2g) if opts.ragged_kplus else None,
     )
     return _feti_solve_impl(prob, opts, tol, qp, kplus)
 
@@ -313,6 +323,16 @@ def _feti_solve_impl(
 
                 op_leaf = LeafDualOperator.create(qp.BE, kplus)
                 spl = op_leaf.space
+                if opts.mesh is not None:
+                    # overlapped boundary exchange over the device mesh
+                    from ..parallel.overlap import (
+                        LeafOverlapPlan, OverlappedLeafOperator,
+                    )
+
+                    plan = LeafOverlapPlan.build(spl, opts.mesh.devices.size)
+                    op_leaf = OverlappedLeafOperator(
+                        op=op_leaf, plan=plan, mesh=opts.mesh
+                    )
                 ggt_chol = pf_holder.pf.ggt_chol
                 if ggt_chol is None:  # orthonormal rows: GG' = I
                     ggt_chol = jnp.eye(pf_holder.BE.shape[0], dtype=qp.b.dtype)

@@ -102,12 +102,13 @@ def feti_dual_apply_shard_map(B: SubdomainExtension, kplus: BlockDiagCholInv,
     import functools
 
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+
+    from .overlap import shard_map_compat
 
     m = B.m_dual
 
     @functools.partial(
-        shard_map,
+        shard_map_compat,
         mesh=mesh,
         in_specs=(
             P(axis, None),  # rows

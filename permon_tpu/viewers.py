@@ -119,3 +119,55 @@ def view_kkt(qp: QP, x, g=None, lambda_E=None, lambda_I=None) -> str:
         for label, val in qp.box.kkt_terms(x, llb, lub):
             lines.append(f"r = {label} = {_fmt(val)}    r/||b|| = {_fmt(val / normb)}")
     return "\n".join(lines)
+
+
+def _op_info(name: str, op) -> str:
+    """One MatPrintInfo-style line: name, type, shape, dtype."""
+    import jax
+
+    if op is None:
+        return f"{name:<8} = None"
+    if hasattr(op, "shape") and not hasattr(op, "mv"):  # vector / array
+        return (
+            f"{name:<8} Vec  shape={tuple(op.shape)} dtype={op.dtype}"
+        )
+    import jax.numpy as _jnp
+
+    leaves = [l for l in jax.tree_util.tree_leaves(op) if hasattr(l, "dtype")]
+    floats = [l for l in leaves if _jnp.issubdtype(l.dtype, _jnp.floating)]
+    dt = (floats or leaves)[0].dtype if leaves else "?"
+    return (
+        f"{name:<8} {type(op).__name__:<22} shape={tuple(op.shape)} dtype={dt}"
+    )
+
+
+def view_qp(qp: QP, title: str = "QP") -> str:
+    """Pipeline-stage object info — the -permon_object_info analog
+    (MatPrintInfo/VecPrintInfo dump in QPTDualizeView_Private,
+    reference: qptransform.c:694-779): one line per operator/vector of the
+    QP with type, shape and dtype, so a transform chain can be audited
+    stage by stage."""
+    lines = [f"*** {title}:"]
+    lines.append(_op_info("A", qp.A))
+    lines.append(_op_info("b", qp.b))
+    for nm in ("BE", "cE", "BI", "cI", "R"):
+        v = getattr(qp, nm)
+        if v is not None:
+            lines.append(_op_info(nm, v))
+    if qp.box is not None:
+        lines.append(_op_info("lb", qp.box.lb))
+        lines.append(_op_info("ub", qp.box.ub))
+    if qp.pf is not None:
+        lines.append(_op_info("pf.G", qp.pf.G))
+    lines.append("***")
+    return "\n".join(lines)
+
+
+def view_chain(steps, title: str = "QP chain") -> str:
+    """Object info for a whole transform chain: ``steps`` is the
+    [(child_qp, post_solve), ...] list the transforms build (the
+    QPChainView analog, qpchain.c)."""
+    out = [f"=== {title} ({len(steps)} stages)"]
+    for i, (child, _post) in enumerate(steps):
+        out.append(view_qp(child, title=f"stage {i}"))
+    return "\n".join(out)

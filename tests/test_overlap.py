@@ -64,6 +64,20 @@ def test_overlapped_leaf_cg_matches_flat():
     )
 
 
+def test_feti_solve_with_overlap_mesh():
+    """FetiOptions(throughput=True, mesh=...) routes the leaf-space dual
+    iteration through the overlapped exchange; the solution matches the
+    flat (no-mesh) throughput run."""
+    from permon_tpu.feti.solve import feti_solve
+
+    prob = build(ns=8, ne=5)
+    r_flat = feti_solve(prob, FetiOptions(throughput=True))
+    r_ovl = feti_solve(prob, FetiOptions(throughput=True, mesh=make_mesh(8)))
+    assert int(r_ovl.result.reason) > 0
+    assert int(r_ovl.result.iterations) == int(r_flat.result.iterations)
+    np.testing.assert_allclose(r_ovl.x_global, r_flat.x_global, atol=1e-10)
+
+
 def test_two_level_mesh_hier_apply():
     qp, kplus = _setup(8)
     mesh = make_mesh2((2, 4))

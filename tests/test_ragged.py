@@ -83,8 +83,15 @@ def test_heterogeneous_tfeti_solve():
     """End-to-end TFETI on ragged subdomains: the auto-selected bucketed
     K+ must reproduce the direct solve of the assembled global problem."""
     prob = _heterogeneous_1d()
-    res = feti_solve(prob, FetiOptions())
+    res = feti_solve(prob, FetiOptions(ragged_kplus=True))
     assert int(res.result.reason) > 0
+    from permon_tpu.core.factor import RaggedBlockDiagCholInv
+    from permon_tpu.feti.solve import FetiSolver
+
+    assert isinstance(
+        FetiSolver(prob, FetiOptions(ragged_kplus=True)).kplus,
+        RaggedBlockDiagCholInv,
+    )
     # assemble the global system and solve directly
     n = prob.n_global
     A = np.zeros((n, n))
