@@ -41,7 +41,7 @@ at half the memory — the classic mixed-precision direct solve (SURVEY §7).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -146,6 +146,45 @@ def regularize_block_tridiag(
     return Ad, Asub
 
 
+def regularize_csr(Ksp, R_block: np.ndarray, rho: float, NB: int,
+                   nl: Optional[int] = None):
+    """Sparse-matrix form of :func:`regularize_block_tridiag`: returns
+    Kreg = K + rho * R_I (R_I'R_I)^{-1} R_I' as scipy CSR, with the fixing
+    dofs I picked inside one trailing diagonal band block (so the band is
+    preserved).  Used when the same regularized blocks feed both the band
+    factorization and a cheap stencil (DIA) operator for refinement."""
+    import scipy.sparse as sp
+
+    k = R_block.shape[1]
+    if k == 0:
+        return sp.csr_matrix(Ksp)
+    nl = R_block.shape[0] if nl is None else nl
+    last = (nl - 1) // NB
+    in_last = nl - last * NB
+    if in_last >= max(4 * k, 16) or last == 0:
+        lo, hi = last * NB, nl
+    else:
+        lo, hi = (last - 1) * NB, last * NB
+    I = fixing_dofs(R_block, lo=lo, hi=hi)
+    RI = R_block[I]
+    Q = RI @ np.linalg.solve(RI.T @ RI, RI.T)
+    upd = sp.coo_matrix(
+        (rho * Q.reshape(-1),
+         (np.repeat(I, len(I)), np.tile(I, len(I)))),
+        shape=Ksp.shape,
+    )
+    return (sp.csr_matrix(Ksp) + upd.tocsr()).tocsr()
+
+
+def gershgorin_max_eig_csr(Ksp) -> float:
+    """max_i sum_j |K_ij| from sparse storage — equal to
+    :func:`gershgorin_max_eig` of the same matrix's block-tridiagonal form."""
+    import scipy.sparse as sp
+
+    K = sp.csr_matrix(Ksp)
+    return float(np.abs(K).sum(axis=1).max())
+
+
 def gershgorin_max_eig(Ad: np.ndarray, Asub: np.ndarray) -> float:
     """Cheap upper bound on lambda_max for the regularization rho (the
     reference uses the power-method lambda_max, permonmatregularize.c:199;
@@ -209,12 +248,15 @@ class BlockTridiag(LinearOperator):
 
 
 @jax.jit
-def factor_block_tridiag(Ad, Asub):
-    """Block-tridiagonal Cholesky: returns (Dinv, F) with D_i the lower
-    Cholesky factors of the block pivots and F_i = A_{i,i-1} D_{i-1}^{-T};
-    Dinv_i = D_i^{-1} stored explicitly so applies are pure GEMVs."""
-    ns, nb, NB, _ = Ad.shape
-    eye = jnp.broadcast_to(jnp.eye(NB, dtype=Ad.dtype), (ns, NB, NB))
+def factor_block_tridiag_sm(Ad_sm, Asub_sm):
+    """Block-tridiagonal Cholesky on SCAN-MAJOR (nb, ns, NB, NB) blocks:
+    returns scan-major (Dinv, F) with D_i the lower Cholesky factors of the
+    block pivots and F_i = A_{i,i-1} D_{i-1}^{-T}; Dinv_i = D_i^{-1} stored
+    explicitly so applies are pure GEMVs.  Scan-major in and out means no
+    device-side transpose ever materializes a second copy of the multi-GB
+    factor arrays."""
+    nb, ns, NB, _ = Ad_sm.shape
+    eye = jnp.broadcast_to(jnp.eye(NB, dtype=Ad_sm.dtype), (ns, NB, NB))
 
     def step(Dinv_prev, blocks):
         Aii, Ai = blocks  # (ns, NB, NB)
@@ -230,9 +272,17 @@ def factor_block_tridiag(Ad, Asub):
             )
         return Dinv, (Dinv, F)
 
-    Dinv0 = jnp.zeros((ns, NB, NB), Ad.dtype)
-    _, (Dinv, F) = jax.lax.scan(
-        step, Dinv0, (Ad.transpose(1, 0, 2, 3), Asub.transpose(1, 0, 2, 3))
+    Dinv0 = jnp.zeros((ns, NB, NB), Ad_sm.dtype)
+    _, (Dinv, F) = jax.lax.scan(step, Dinv0, (Ad_sm, Asub_sm))
+    return Dinv, F
+
+
+def factor_block_tridiag(Ad, Asub):
+    """Batch-major (ns, nb, NB, NB) wrapper around
+    :func:`factor_block_tridiag_sm`; returns batch-major factors."""
+    Dinv, F = factor_block_tridiag_sm(
+        jnp.asarray(Ad).transpose(1, 0, 2, 3),
+        jnp.asarray(Asub).transpose(1, 0, 2, 3),
     )
     return Dinv.transpose(1, 0, 2, 3), F.transpose(1, 0, 2, 3)
 
@@ -248,36 +298,56 @@ class BandCholInv(LinearOperator):
     Factors are stored SCAN-MAJOR — (nb, ns, NB, NB), block index leading —
     so the substitution scans consume them as xs without materializing
     transposed copies (a per-apply transpose of the multi-GB factor arrays
-    is what OOMs a 16 GB chip), and the backward scan's shifted F is
-    precomputed once."""
+    is what OOMs a 16 GB chip).  The backward substitution carries
+    z_i = F_i' x_i between steps instead of storing a shifted copy of F —
+    halving the stored factor footprint vs round 2."""
 
     Dinv: jax.Array  # (nb, ns, NB, NB), scan-major
     F: jax.Array  # (nb, ns, NB, NB), scan-major; F[0] = 0
-    Fnext: jax.Array  # (nb, ns, NB, NB): Fnext[i] = F[i+1], last = 0
     shape: Tuple[int, int] = struct.field(pytree_node=False)
-    op: Optional[BlockTridiag] = None
+    op: Any = None  # operator for iterative refinement (any LinearOperator)
     refine: int = struct.field(pytree_node=False, default=0)
 
     @classmethod
     def from_block_tridiag(
         cls, Ad, Asub, dtype=None, refine: int = 0, keep_operator: bool = False,
-        op_dtype=None,
+        op_dtype=None, op=None, scan_major: bool = False,
     ) -> "BandCholInv":
-        Ad = jnp.asarray(Ad)
-        Asub = jnp.asarray(Asub)
-        fdtype = dtype or Ad.dtype
-        Dinv, F = factor_block_tridiag(Ad.astype(fdtype), Asub.astype(fdtype))
-        Dinv = Dinv.transpose(1, 0, 2, 3)
-        F = F.transpose(1, 0, 2, 3)
-        Fnext = jnp.concatenate([F[1:], jnp.zeros_like(F[:1])], axis=0)
-        ns, nb, NB, _ = Ad.shape
+        """``scan_major=True`` means Ad/Asub are already (nb, ns, NB, NB);
+        numpy batch-major inputs are re-staged on HOST so no device transpose
+        doubles peak memory.  ``op`` supplies an external refinement operator
+        (e.g. a cheap stencil SpMV) instead of keeping the dense
+        block-tridiagonal blocks alive."""
+        ext_op = op
+        if scan_major:
+            Ad_sm, Asub_sm = Ad, Asub
+            nb, ns, NB, _ = np.shape(Ad)
+        else:
+            ns, nb, NB, _ = np.shape(Ad)
+            if isinstance(Ad, np.ndarray):
+                Ad_sm = np.ascontiguousarray(np.moveaxis(Ad, 0, 1))
+                Asub_sm = np.ascontiguousarray(np.moveaxis(Asub, 0, 1))
+            else:
+                Ad_sm = jnp.moveaxis(jnp.asarray(Ad), 0, 1)
+                Asub_sm = jnp.moveaxis(jnp.asarray(Asub), 0, 1)
+        in_dtype = jnp.asarray(Ad_sm[:1, :1]).dtype
+        fdtype = dtype or in_dtype
         n = int(ns * nb * NB)
-        op = None
-        if keep_operator or refine:
-            odt = op_dtype or Ad.dtype
-            op = BlockTridiag.from_blocks(Ad.astype(odt), Asub.astype(odt))
-        return cls(Dinv=Dinv, F=F, Fnext=Fnext, shape=(n, n), op=op,
-                   refine=refine)
+        if ext_op is None and (keep_operator or refine):
+            # refinement residuals must be computed at (at least) the INPUT
+            # precision, else an f32 factor can never refine past f32
+            odt = op_dtype or in_dtype
+            ext_op = BlockTridiag.from_blocks(
+                jnp.moveaxis(jnp.asarray(Ad_sm), 0, 1).astype(odt),
+                jnp.moveaxis(jnp.asarray(Asub_sm), 0, 1).astype(odt),
+            )
+        if isinstance(Ad_sm, np.ndarray):
+            Ad_sm = Ad_sm.astype(fdtype)  # host cast: device never sees f64
+            Asub_sm = Asub_sm.astype(fdtype)
+        Dinv, F = factor_block_tridiag_sm(
+            jnp.asarray(Ad_sm).astype(fdtype), jnp.asarray(Asub_sm).astype(fdtype)
+        )
+        return cls(Dinv=Dinv, F=F, shape=(n, n), op=ext_op, refine=refine)
 
     def _fwd(self, xb):
         """y = L^{-1} x on scan-major (nb, ns, NB) blocks (forward
@@ -301,21 +371,21 @@ class BandCholInv(LinearOperator):
 
     def _bwd(self, Y):
         """x = L^{-T} y on scan-major blocks (backward substitution:
-        x_i = D_i^{-T} (y_i - F_{i+1}' x_{i+1}))."""
+        x_i = D_i^{-T} (y_i - F_{i+1}' x_{i+1})).  The cross-block term
+        z_i = F_i' x_i is computed at step i and CARRIED to step i-1, so
+        the scan consumes F itself — no shifted copy of the factor array."""
         nb, ns, NB, _ = self.Dinv.shape
 
-        def bwd(x_next, blocks):
-            y_i, Dinv_i, F_n = blocks
+        def bwd(z_next, blocks):  # z_next = F_{i+1}' x_{i+1}
+            y_i, Dinv_i, F_i = blocks
             with jax.default_matmul_precision("highest"):
-                xi = jnp.einsum(
-                    "sji,sj->si", Dinv_i,
-                    y_i - jnp.einsum("sji,sj->si", F_n, x_next),
-                )
-            return xi, xi
+                xi = jnp.einsum("sji,sj->si", Dinv_i, y_i - z_next)
+                z_i = jnp.einsum("sij,si->sj", F_i, xi)
+            return z_i, xi
 
         _, X = jax.lax.scan(
             bwd, jnp.zeros((ns, NB), self.Dinv.dtype),
-            (Y, self.Dinv, self.Fnext), reverse=True,
+            (Y, self.Dinv, self.F), reverse=True,
         )
         return X
 

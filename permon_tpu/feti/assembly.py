@@ -185,23 +185,34 @@ def build_gluing(
 def build_dirichlet_rows(prob: FetiProblem):
     """Identity rows on every decomposed copy of each Dirichlet dof (the
     enforce_by_B path, qpfeti.c:153-312).  Returns (rows, cols, vals, n_rows,
-    c) with c the prescribed values."""
-    copies = _dof_copies(prob.l2g)
-    rows, cols, vals, cvals = [], [], [], []
-    r = 0
+    c) with c the prescribed values.  Fully vectorized (no python loop over
+    ns*nl): copies are found by one argsort over the flattened l2g."""
+    dg = prob.dirichlet_global()
     dvals = (
-        prob.dirichlet_values
+        np.asarray(prob.dirichlet_values, dtype=np.float64)
         if prob.dirichlet_values is not None
         else np.zeros(len(prob.dirichlet))
     )
-    for g, val in zip(prob.dirichlet_global(), dvals):
-        for (s, i) in copies[int(g)]:
-            rows.append(r)
-            cols.append(s * prob.nl + i)
-            vals.append(1.0)
-            cvals.append(float(val))
-            r += 1
-    return np.array(rows), np.array(cols), np.array(vals, dtype=np.float64), r, np.array(cvals)
+    flat = prob.l2g.reshape(-1)
+    # per Dirichlet dof d (in dg order): all flat positions with l2g == dg[d],
+    # rank-ordered (flat index order == (s, i) lexicographic == rank order)
+    pos_d, pos_flat = np.nonzero(dg[:, None] == flat[None, :]) if len(dg) * len(flat) < (1 << 24) else _dirichlet_copies_sorted(dg, flat)
+    r = len(pos_flat)
+    rows = np.arange(r)
+    return rows, pos_flat.astype(np.int64), np.ones(r), r, dvals[pos_d]
+
+
+def _dirichlet_copies_sorted(dg: np.ndarray, flat: np.ndarray):
+    """(dirichlet index, flat position) pairs via sorted search — O(n log n)
+    instead of the O(nd * n) broadcast, for large decompositions."""
+    order = np.argsort(flat, kind="stable")
+    sf = flat[order]
+    lo = np.searchsorted(sf, dg, side="left")
+    hi = np.searchsorted(sf, dg, side="right")
+    counts = hi - lo
+    pos_d = np.repeat(np.arange(len(dg)), counts)
+    take = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) if len(dg) else np.zeros(0, np.int64)
+    return pos_d, order[take]
 
 
 def eliminate_dirichlet_in_blocks(prob: FetiProblem):
@@ -292,19 +303,15 @@ def decompose_rhs_by_multiplicity(b_loc: np.ndarray, l2g: np.ndarray) -> np.ndar
     Any splitting with the same copy-sum yields the same constrained
     minimizer, but the dual trajectory (and hence iteration-count parity with
     the reference) depends on this particular one."""
-    ns, nl = l2g.shape
     ng = int(l2g.max()) + 1
-    b_glob = np.zeros(ng)
-    mult = np.zeros(ng)
-    for s in range(ns):
-        real = l2g[s] >= 0
-        np.add.at(b_glob, l2g[s][real], b_loc[s][real])
-        np.add.at(mult, l2g[s][real], 1.0)
-    out = np.zeros_like(b_loc)
-    for s in range(ns):
-        real = l2g[s] >= 0
-        out[s][real] = b_glob[l2g[s][real]] / mult[l2g[s][real]]
-    return out
+    flat = l2g.reshape(-1)
+    real = flat >= 0
+    ids = flat[real]
+    b_glob = np.bincount(ids, weights=b_loc.reshape(-1)[real], minlength=ng)
+    mult = np.bincount(ids, minlength=ng)
+    out = np.zeros_like(b_loc).reshape(-1)
+    out[real] = b_glob[ids] / mult[ids]
+    return out.reshape(b_loc.shape)
 
 
 def rigid_body_modes(coords: np.ndarray) -> np.ndarray:

@@ -200,10 +200,19 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
         rr, rc, rv, k = constant_nullspace_columns(probp, fixed_mask)
     R = Ell.from_scipy(sp.coo_matrix((rv, (rr, rc)), shape=(ns * nlp, k))) if k else None
 
-    # band K+ with fixing-dof regularization per floating block
-    Ads, Asubs = [], []
+    # band K+ with fixing-dof regularization per floating block.  The
+    # regularization happens on the SPARSE blocks so the same Kreg feeds
+    # (a) the scan-major block-tridiagonal factorization (no device-side
+    # transpose of the multi-GB factor arrays) and (b) a BlockDia stencil
+    # operator used as qp.A and as the refinement operator — O(ndiag*n)
+    # memory instead of keeping the dense (NB, NB) blocks alive.
+    from ..core.band import gershgorin_max_eig_csr, regularize_csr
+    from ..core.dia import BlockDia
+
+    fdt = np.dtype(kplus_dtype) if kplus_dtype is not None else np.float64
+    Kregs = []
     for s in range(ns):
-        Ad, Asub = csr_to_block_tridiag(K_blocks[s], NB)
+        Kreg = K_blocks[s]
         if not fixed_mask[s]:
             if bases is not None:
                 Rb = bases[s][:nl]
@@ -211,20 +220,27 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
                 real = np.flatnonzero(prob.l2g[s] >= 0)
                 Rb = np.zeros((nl, 1))
                 Rb[real, 0] = 1.0 / np.sqrt(len(real))
-            rho = gershgorin_max_eig(Ad, Asub)
-            Ad, Asub = regularize_block_tridiag(Ad, Asub, Rb, rho, NB, nl=nl)
-        Ads.append(Ad)
-        Asubs.append(Asub)
-    Ad = np.stack(Ads)
-    Asub = np.stack(Asubs)
+            rho = gershgorin_max_eig_csr(Kreg)
+            Kreg = regularize_csr(Kreg, Rb, rho, NB, nl=nl)
+        Kregs.append(Kreg)
+    Ads, Asubs = [], []
+    for s in range(ns):
+        Ad, Asub = csr_to_block_tridiag(Kregs[s], NB)
+        Ads.append(Ad.astype(fdt))
+        Asubs.append(Asub.astype(fdt))
+    Ad_sm = np.stack(Ads, axis=1)  # scan-major (nb, ns, NB, NB), host
+    Asub_sm = np.stack(Asubs, axis=1)
+    del Ads, Asubs
+    A = BlockDia.from_scipy_blocks(Kregs, nlp=nlp, dtype=op_dtype)
     kplus = BandCholInv.from_block_tridiag(
-        Ad, Asub, dtype=kplus_dtype, refine=kplus_refine,
-        keep_operator=True,  # A reuses the same blocks
-        op_dtype=op_dtype,
+        Ad_sm, Asub_sm, dtype=kplus_dtype, refine=kplus_refine,
+        op=A, scan_major=True,
     )
-    A = kplus.op
     b = jnp.asarray(b_loc.reshape(-1))
-    qp = QP(A=A, b=b, BE=BE, cE=cE, R=R)
+    # an all-zero cE carries no information: drop it so the pipeline skips
+    # homogenize_eq (one A apply + coarse solve) entirely
+    cE_arr = np.concatenate(cE_parts)
+    qp = QP(A=A, b=b, BE=BE, cE=cE if cE_arr.any() else None, R=R)
     return qp, kplus, NB
 
 
@@ -245,7 +261,7 @@ def feti_solve_sparse(
         op_dtype=op_dtype,
     )
     steps = []
-    dual, post_d = dualize(qp, kplus=kplus)
+    dual, post_d = dualize(qp, kplus=kplus, coarse=opts.coarse)
     steps.append((dual, post_d))
     cur = dual
     if cur.cE is not None:
@@ -268,15 +284,11 @@ def feti_solve_sparse(
         res = cg(cur, tol=tol, precond=precond, project=project)
     sol = compose(steps)(Solution(x=res.x))
 
+    from .solve import assemble_global_mean
+
     nlp = qp.BE.nl
     u = np.asarray(sol.x).reshape(prob.ns, nlp)
-    x_global = np.zeros(prob.n_global)
-    counts = np.zeros(prob.n_global)
-    for s in range(prob.ns):
-        real = prob.l2g[s] >= 0
-        np.add.at(x_global, prob.l2g[s][real], u[s][: prob.nl][real])
-        np.add.at(counts, prob.l2g[s][real], 1.0)
-    x_global /= counts
+    x_global = assemble_global_mean(u[:, : prob.nl], prob.l2g, prob.n_global)
     return FetiResult(
         x_global=x_global, u_decomposed=sol.x, solution=sol, result=res,
         qp=qp, dual_qp=dual,

@@ -82,6 +82,20 @@ class FetiOptions:
     #: iteration runs the ppermute-overlapped boundary exchange over it
     #: (parallel/overlap.py — the PetscSF Begin/End comm/compute overlap)
     mesh: Optional[Any] = None
+    #: dual coarse-side build (qp.transforms.dualize): 'auto' switches to the
+    #: sparse G = R'B' + host sparse GG' construction past
+    #: SPARSE_COARSE_THRESHOLD dense elements; 'dense'/'sparse' force a path
+    coarse: str = "auto"
+    #: regularization rho_s source (make_blockdiag_kplus): 'auto' keeps the
+    #: exact batched eigvalsh at parity scale and switches to the vectorized
+    #: Gershgorin bound for ns >= 128 projected solves (where the pipeline
+    #: is K+-invariant); 'exact'/'gershgorin' force a choice
+    rho_mode: str = "auto"
+
+    def resolved_rho_mode(self, ns: int) -> str:
+        if self.rho_mode != "auto":
+            return self.rho_mode
+        return "gershgorin" if (self.project and ns >= 128) else "exact"
     smalxe: SMALXEOptions = dataclasses.field(default_factory=SMALXEOptions)
 
 
@@ -165,6 +179,18 @@ def assemble_qp(prob: FetiProblem, opts: FetiOptions = FetiOptions()):
     return qp, K_blocks, fixed_mask, null_bases
 
 
+def assemble_global_mean(u: np.ndarray, l2g: np.ndarray, n_global: int) -> np.ndarray:
+    """Average the decomposed solution's dof copies into the global vector
+    (the MATIS reassembly of QPTMatISToBlockDiag's post-solve,
+    qptransform.c:1905-1981) — one flat bincount, no per-subdomain loop."""
+    flat = l2g.reshape(-1)
+    real = flat >= 0
+    ids = flat[real]
+    x_global = np.bincount(ids, weights=u.reshape(-1)[real], minlength=n_global)
+    counts = np.bincount(ids, minlength=n_global)
+    return x_global / np.maximum(counts, 1)
+
+
 def ragged_sizes(l2g: np.ndarray) -> Optional[np.ndarray]:
     """True per-subdomain sizes when padding (-1 entries) is a trailing
     suffix of every row; None when sizes are uniform or padding is
@@ -182,13 +208,18 @@ def ragged_sizes(l2g: np.ndarray) -> Optional[np.ndarray]:
 
 def make_blockdiag_kplus(
     K_blocks: np.ndarray, fixed_mask, prob: FetiProblem, null_bases=None,
-    explicit: bool = False, sizes=None,
+    explicit: bool = False, sizes=None, rho_mode: str = "exact",
 ):
     """Batched per-block regularized Cholesky K+ (the MAT_INV_BLOCKDIAG path
     with MatRegularize, matinv.c:435-590 + permonmatregularize.c).
 
     rho_s = lambda_max(K_s), Q_s = R_s R_s' from the block's nullspace basis
     (default: the normalized constant mode over real dofs — Poisson).
+    ``rho_mode``: 'exact' = batched eigvalsh over the blocks that actually
+    get regularized (the committed parity oracles were pinned with it);
+    'gershgorin' = vectorized O(ns*nl^2) row-sum bound (matches the large
+    path, core/band.py; the projected dual pipeline is invariant to the K+
+    regularization so either choice gives the same iteration counts there).
 
     ``sizes`` (opt-in; e.g. ``ragged_sizes(prob.l2g)`` or
     ``FetiOptions(ragged_kplus=True)``) routes to the bucketed
@@ -199,18 +230,29 @@ def make_blockdiag_kplus(
     differently from the padded one — f64-parity paths keep the uniform
     batched factor."""
     Kreg = K_blocks.copy()
-    # one batched LAPACK call for all rho_s = lambda_max(K_s) (the
-    # reference's MatGetMaxEigenvalue per block, permonmatregularize.c);
-    # the sparse large path (feti/large.py) uses Gershgorin bounds instead
-    rho_all = np.linalg.eigvalsh(np.asarray(K_blocks))[:, -1]
-    for s in range(prob.ns):
+    if null_bases is not None:
+        reg_mask = np.array([b.shape[1] > 0 for b in null_bases])
+    elif fixed_mask is not None:
+        reg_mask = ~np.asarray(fixed_mask, dtype=bool)
+    else:
+        reg_mask = np.ones(prob.ns, dtype=bool)
+    reg_idx = np.flatnonzero(reg_mask)
+    rho_all = np.zeros(prob.ns)
+    if len(reg_idx):
+        if rho_mode == "gershgorin":
+            Kb = np.asarray(K_blocks)[reg_idx]
+            rho_all[reg_idx] = np.abs(Kb).sum(axis=2).max(axis=1)
+        else:
+            # one batched LAPACK call restricted to the regularized blocks
+            # (the reference's MatGetMaxEigenvalue per block,
+            # permonmatregularize.c)
+            rho_all[reg_idx] = np.linalg.eigvalsh(
+                np.asarray(K_blocks)[reg_idx]
+            )[:, -1]
+    for s in reg_idx:
         if null_bases is not None:
             Q = null_bases[s]
-            if Q.shape[1] == 0:
-                continue
         else:
-            if fixed_mask is not None and fixed_mask[s]:
-                continue
             real = np.flatnonzero(prob.l2g[s] >= 0)
             Q = np.zeros((prob.nl, 1))
             Q[real, 0] = 1.0 / np.sqrt(len(real))
@@ -244,6 +286,7 @@ class FetiSolver:
             self._K_blocks, self._fixed_mask, prob, self._null_bases,
             explicit=opts.throughput,
             sizes=ragged_sizes(prob.l2g) if opts.ragged_kplus else None,
+            rho_mode=opts.resolved_rho_mode(prob.ns),
         )
 
     def solve(self, b_loc=None, tol: Tolerances = Tolerances()) -> "FetiResult":
@@ -271,6 +314,7 @@ def feti_solve(
     kplus = make_blockdiag_kplus(
         K_blocks, fixed_mask, prob, null_bases, explicit=opts.throughput,
         sizes=ragged_sizes(prob.l2g) if opts.ragged_kplus else None,
+        rho_mode=opts.resolved_rho_mode(prob.ns),
     )
     return _feti_solve_impl(prob, opts, tol, qp, kplus)
 
@@ -284,7 +328,7 @@ def _feti_solve_impl(
 ) -> FetiResult:
 
     steps = []
-    dual, post_d = dualize(qp, kplus=kplus)
+    dual, post_d = dualize(qp, kplus=kplus, coarse=opts.coarse)
     steps.append((dual, post_d))
     cur = dual
     if opts.precision != "f64":
@@ -353,13 +397,7 @@ def _feti_solve_impl(
 
     # assemble the global solution by averaging dof copies (padding skipped)
     u = np.asarray(sol.x).reshape(prob.ns, prob.nl)
-    x_global = np.zeros(prob.n_global)
-    counts = np.zeros(prob.n_global)
-    for s in range(prob.ns):
-        real = prob.l2g[s] >= 0
-        np.add.at(x_global, prob.l2g[s][real], u[s][real])
-        np.add.at(counts, prob.l2g[s][real], 1.0)
-    x_global /= counts
+    x_global = assemble_global_mean(u, prob.l2g, prob.n_global)
 
     return FetiResult(
         x_global=x_global, u_decomposed=sol.x, solution=sol, result=res,

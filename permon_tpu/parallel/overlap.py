@@ -267,7 +267,10 @@ def shard_map_compat(f=None, **kw):
 class OverlappedLeafOperator:
     """Drop-in for :class:`LeafDualOperator` inside :func:`leaf_cg`:
     ``apply`` runs the overlapped exchange, ``space`` provides the
-    weighted dots (GSPMD reduces them over the mesh)."""
+    weighted dots (GSPMD reduces them over the mesh).  The shard_map-wrapped
+    closure is built lazily once per operator instance and reused, so eager
+    or repeatedly-jitted callers don't re-trace a fresh function object per
+    application."""
 
     op: LeafDualOperator
     plan: LeafOverlapPlan
@@ -278,7 +281,11 @@ class OverlappedLeafOperator:
         return self.op.space
 
     def apply(self, Lam):
-        return leaf_apply_overlapped(self.op, self.plan, self.mesh)(Lam)
+        fn = object.__getattribute__(self, "__dict__").get("_apply_fn")
+        if fn is None:
+            fn = leaf_apply_overlapped(self.op, self.plan, self.mesh)
+            object.__setattr__(self, "_apply_fn", fn)
+        return fn(Lam)
 
 
 def feti_dual_apply_hier(B, kplus, mesh: Mesh):

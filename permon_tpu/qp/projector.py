@@ -78,8 +78,14 @@ class Projector:
         orthonormal_rows: Optional[bool] = None,
         explicit_inv: bool = False,
         sparse: Optional[bool] = None,
+        gram=None,
     ) -> "Projector":
-        if orthonormal_rows is None:
+        """``gram`` (optional) supplies a precomputed GG' — a scipy sparse or
+        dense (m, m) host matrix — so G is never densified (the sparse
+        MatTransposeMatMult + sparse GG' factorization path of the reference,
+        qptransform.c:1089-1100 + qppf.c:213-278).  :func:`dualize` uses it
+        to keep the dual coarse side O(nnz)."""
+        if orthonormal_rows is None and gram is None:
             # random-trial detection short-circuits the CP entirely
             # (MatHasOrthonormalRows use in qppf.c:392-396)
             from ..core.matutils import has_orthonormal_rows
@@ -89,6 +95,25 @@ class Projector:
             return cls(G=G, ggt_chol=None, orthonormal_rows=True)
         if sparse is None:
             sparse = G.shape[0] > SPARSE_GGT_THRESHOLD
+        if gram is not None:
+            import scipy.sparse as _sp
+
+            if sparse and _sp.issparse(gram):
+                from ..core.band import band_chol_single
+
+                band, perm = band_chol_single(gram.tocsr())
+                return cls(G=G, ggt_chol=None, ggt_band=band,
+                           cp_perm=jnp.asarray(perm))
+            ggt = jnp.asarray(
+                gram.toarray() if _sp.issparse(gram) else gram,
+                dtype=jnp.result_type(float),
+            )
+            chol = jnp.linalg.cholesky(ggt)
+            inv = None
+            if explicit_inv:
+                eye = jnp.eye(ggt.shape[0], dtype=ggt.dtype)
+                inv = jax.scipy.linalg.cho_solve((chol, True), eye)
+            return cls(G=G, ggt_chol=chol, orthonormal_rows=False, ggt_inv=inv)
         if sparse:
             from ..core.band import band_chol_single
             from .sparse_rows import to_scipy
@@ -100,9 +125,9 @@ class Projector:
                 return cls(G=G, ggt_chol=None, ggt_band=band,
                            cp_perm=jnp.asarray(perm))
         Gd = dense_rows(G)
-        from ..core.detred import gram
+        from ..core.detred import gram as _gram
 
-        ggt = gram(Gd)  # fixed-tree reduction in deterministic mode
+        ggt = _gram(Gd)  # fixed-tree reduction in deterministic mode
         chol = jnp.linalg.cholesky(ggt)
         inv = None
         if explicit_inv:

@@ -80,9 +80,35 @@ def ensure_pf(qp: QP, orthonormal_rows: bool = False) -> QP:
 # --------------------------------------------------------------------------
 
 
+#: element count of the dense R/G build past which `dualize(coarse='auto')`
+#: switches to the sparse coarse-side construction (k*(N+m) f64 elements;
+#: 2^25 elements = 268 MB — parity-scale problems stay well below and keep
+#: the bit-identical dense device Gram the oracles were pinned with)
+SPARSE_COARSE_THRESHOLD = 1 << 25
+
+
+def _sparse_coarse(R, B):
+    """Host-side sparse coarse build: G = R'B' as a LAZY operator plus the
+    sparse Gram GG' (scipy), without materializing dense R or G — the analog
+    of the reference's sparse MatTransposeMatMult G = R'B'
+    (qptransform.c:1089-1100, extension.c:544-620) and sparse GG'
+    factorization (qppf.c:213-278).  Returns None when either operator lacks
+    sparse structure."""
+    from .sparse_rows import to_scipy
+
+    R_sp = to_scipy(R)  # (N, k)
+    B_sp = to_scipy(B)
+    if R_sp is None or B_sp is None:
+        return None
+    G_sp = (R_sp.T @ B_sp.T).tocsr()  # (k, m) sparse
+    ggt = (G_sp @ G_sp.T).tocsr()
+    G_op = Product((Transpose(R), Transpose(B)))  # mv = R'(B' lam), lazy
+    return G_op, ggt
+
+
 def dualize(
     qp: QP, regularize: bool = True, kplus=None, kplus_mode: str = "plain",
-    pf=None,
+    pf=None, coarse: str = "auto",
 ) -> Tuple[QP, PostSolve]:
     """Build the dual QP  min 1/2 l'Fl - d'l  s.t. G l = e, l_I >= 0 with
     F = B K+ B', d = B K+ b - c, G = R'B', e = R'b  (QPTDualize,
@@ -142,11 +168,23 @@ def dualize(
 
     G = None
     e = None
+    gram = None
     if qp.R is not None and qp.R.shape[1] > 0:
-        Rd = qp.R.todense()
-        # G row i = B r_i  (G = R'B', qptransform.c:1089-1100)
-        Gd = jax.vmap(B.mv, in_axes=1)(Rd)
-        G = Dense.create(Gd)
+        k_null = qp.R.shape[1]
+        want_sparse = coarse == "sparse" or (
+            coarse == "auto"
+            and k_null * (qp.R.shape[0] + m) > SPARSE_COARSE_THRESHOLD
+        )
+        sp_coarse = _sparse_coarse(qp.R, B) if want_sparse else None
+        if sp_coarse is not None:
+            # sparse coarse side: lazy G = R'B', host-built sparse GG' —
+            # peak memory O(nnz), never a dense (N, k) R or (k, m) G
+            G, gram = sp_coarse
+        else:
+            Rd = qp.R.todense()
+            # G row i = B r_i  (G = R'B', qptransform.c:1089-1100)
+            Gd = jax.vmap(B.mv, in_axes=1)(Rd)
+            G = Dense.create(Gd)
         e = qp.R.rmv(b)
 
     box = None
@@ -161,7 +199,12 @@ def dualize(
         A=F, b=d, x0=jnp.zeros(m, dtype=b.dtype), box=box,
         BE=G, cE=e, BI=None, cI=None, R=None,
     )
-    child = child.replace(pf=pf) if pf is not None else ensure_pf(child)
+    if pf is not None:
+        child = child.replace(pf=pf)
+    elif gram is not None:
+        child = child.replace(pf=Projector.create(G, gram=gram))
+    else:
+        child = ensure_pf(child)
 
     def post(sol: Solution) -> Solution:
         lam = sol.x

@@ -41,7 +41,13 @@ def make_solver(qps_type: Optional[str] = None, tol: Tolerances = Tolerances(), 
     is a single device dispatch — on a TPU v5e the fully-jitted MPRGP runs
     ~1.3 ms/iter in f64 and ~microseconds/iter in f32, vs ~8-15 ms/iter when
     the setup runs eagerly op-by-op.  Reuse the returned callable across
-    solves with the same shapes to amortize compilation."""
+    solves with the same shapes to amortize compilation.
+
+    Caveat: trace-time flags (notably ``core.detred.set_deterministic``) are
+    baked in when the returned callable first compiles; toggling them later
+    does NOT retrace an already-cached executable.  Set the deterministic
+    mode (or any other trace-time configuration) BEFORE the first call, or
+    build a fresh solver after toggling."""
     import jax
 
     assert qps_type != "tao", "the TAO adapter runs host-side and cannot be jitted"
