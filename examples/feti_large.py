@@ -161,7 +161,7 @@ def assembled_system(cells):
 
 
 def main(ncells: int = 24, g: int = 2, f32: bool = True, rtol: float = 1e-5,
-         verify: bool = None):
+         verify: bool = None, primal_refine: int = 1):
     import jax.numpy as jnp
 
     from permon_tpu.core.convergence import Tolerances
@@ -175,11 +175,14 @@ def main(ncells: int = 24, g: int = 2, f32: bool = True, rtol: float = 1e-5,
     t1 = time.time()
     print(f"assembled {N} dofs, {prob.ns} subdomains of <= {prob.nl} dofs "
           f"({t1 - t0:.1f} s host)")
-    # f32 everything on device (v5e f64 is float-float emulated: 2x buffers,
-    # 4x matmul partials — the 1M-dof factor would not fit); 2 refinement
-    # steps recover the f32-matvec-limited accuracy, ample at rtol 1e-5
+    # f32 factors on device (v5e f64 is float-float emulated: 2x buffers,
+    # 4x matmul partials — the 1M-dof factor would not fit in f64); the dual
+    # CG runs cheap unrefined applies, the post-solve uses refined applies,
+    # and one f64 primal defect-correction pass over the whole FETI solve
+    # brings the assembled residual to f64 grade (~1e-10) at f32 memory
     kw = (
-        dict(kplus_dtype=jnp.float32, kplus_refine=2, op_dtype=jnp.float32)
+        dict(kplus_dtype=jnp.float32, kplus_refine=2,
+             primal_refine=primal_refine)
         if f32 else {}
     )
     res = feti_solve_sparse(

@@ -62,6 +62,32 @@ class TestSparseFeti:
         resid = np.linalg.norm(A @ res.x_global - b) / np.linalg.norm(b)
         assert resid < 2e-5, resid
 
+    def test_f32_primal_defect_correction_reaches_f64_grade(self, prob):
+        """f32 factors + accurate post chain + 1 defect-correction pass must
+        deliver an f64-grade assembled residual (the mixed-precision recipe
+        the 1M-dof single-chip run relies on)."""
+        res = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred"), tol=Tolerances(rtol=1e-6),
+            kplus_dtype=jnp.float32, kplus_refine=2, primal_refine=1,
+        )
+        A, b = assembled_system(CELLS)
+        resid = np.linalg.norm(A @ res.x_global - b) / np.linalg.norm(b)
+        assert resid < 1e-8, resid
+
+    def test_sparse_coarse_matches_dense_coarse(self, prob):
+        """coarse='sparse' (lazy G = R'B' + host sparse GG') must reproduce
+        the dense coarse build's iteration count and solution."""
+        res_d = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred", coarse="dense"),
+            tol=Tolerances(rtol=1e-6),
+        )
+        res_s = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred", coarse="sparse"),
+            tol=Tolerances(rtol=1e-6),
+        )
+        assert int(res_s.result.iterations) == int(res_d.result.iterations)
+        np.testing.assert_allclose(res_s.x_global, res_d.x_global, atol=1e-6)
+
     def test_rcm_reorder_fused_same_solution(self, prob):
         resn = feti_solve_sparse(
             prob, FetiOptions(gluing="nonred"), tol=Tolerances(rtol=1e-7)
