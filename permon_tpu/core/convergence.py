@@ -20,9 +20,13 @@ class ConvergedReason(enum.IntEnum):
     CONVERGED_RTOL = 2
     CONVERGED_ATOL = 3
     CONVERGED_ITS = 4
+    #: inner solver stopped because the OUTER test passed (SMALXE inner;
+    #: prints as KSPReason=7 in the reference .out files)
+    CONVERGED_HAPPY_BREAKDOWN = 7
     DIVERGED_NULL = -2
     DIVERGED_ITS = -3
     DIVERGED_DTOL = -4
+    DIVERGED_BREAKDOWN = -5
     DIVERGED_NANORINF = -9
 
     @property

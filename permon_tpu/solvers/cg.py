@@ -26,6 +26,10 @@ class CGResult:
     iterations: jax.Array
     rnorm: jax.Array
     nmv: jax.Array
+    #: fixed-size per-iteration ||Pr|| buffer (NaN past the last iteration)
+    #: when the solver was called with ``history > 0`` — the QPS residual
+    #: history arrays (qpsimpl.h:62-70)
+    rnorm_history: Optional[jax.Array] = None
 
 
 def cg(
@@ -34,12 +38,15 @@ def cg(
     precond: Optional[Callable] = None,
     project: Optional[Callable] = None,
     monitor: bool = False,
+    history: int = 0,
 ) -> CGResult:
     """(Projected, preconditioned) CG on 1/2 x'Ax - b'x.
 
     With ``project`` = P (orthogonal projector onto ker BE) this is PCPG
     (reference: pcpg.c:51-134): every search direction and residual stays in
     the projected subspace; convergence is tested on ||P r|| (w).
+    ``history`` > 0 records that many per-iteration residual norms in a
+    fixed-size device buffer surfaced as ``result.rnorm_history``.
     """
     A, b = qp.A, qp.b
     x0 = qp.initial_vector()
@@ -48,10 +55,13 @@ def cg(
     ttol = jnp.maximum(tol.rtol * norm_rhs, tol.atol)
     P = project if project is not None else (lambda v: v)
     M = precond if precond is not None else (lambda v: v)
+    nh = int(history)
 
     def body(carry):
-        x, r, w, z, p, wz, it, reason, nmv = carry
+        x, r, w, z, p, wz, it, reason, nmv, hist = carry
         rnorm = detred.norm(w)
+        if nh:
+            hist = hist.at[jnp.minimum(it, nh - 1)].set(rnorm)
         if monitor:
             jax.debug.print("{it:>3} CG ||Pr||={r:.10e}", it=it, r=rnorm)
         reason = converged_default(
@@ -79,18 +89,24 @@ def cg(
             beta = jnp.where(broke, 0.0, wz2 / wz)
             p2 = y2 + beta * p
             reason2 = jnp.where(broke, jnp.int32(3), reason)
-            return x2, r2, w2, z2, p2, wz2, it + 1, reason2, nmv + 1
+            return x2, r2, w2, z2, p2, wz2, it + 1, reason2, nmv + 1, hist
 
-        return jax.lax.cond(reason == 0, step, lambda _: (x, r, w, z, p, wz, it, reason, nmv), None)
+        return jax.lax.cond(
+            reason == 0, step,
+            lambda _: (x, r, w, z, p, wz, it, reason, nmv, hist), None,
+        )
 
     r0 = b - A.mv(x0)
     w0 = P(r0)
     z0 = M(w0)
     y0 = P(z0) if precond is not None else z0
-    carry0 = (x0, r0, w0, z0, y0, detred.vdot(w0, y0), jnp.int32(0), jnp.int32(0), jnp.int32(1))
-    x, r, w, *_rest = out = jax.lax.while_loop(lambda c: c[7] == 0, body, carry0)
-    _, _, w, _, _, _, it, reason, nmv = out
-    return CGResult(x=x, reason=reason, iterations=it, rnorm=detred.norm(w), nmv=nmv)
+    hist0 = jnp.full((max(nh, 1),), jnp.nan, dtype=b.dtype)
+    carry0 = (x0, r0, w0, z0, y0, detred.vdot(w0, y0), jnp.int32(0),
+              jnp.int32(0), jnp.int32(1), hist0)
+    out = jax.lax.while_loop(lambda c: c[7] == 0, body, carry0)
+    x, _, w, _, _, _, it, reason, nmv, hist = out
+    return CGResult(x=x, reason=reason, iterations=it, rnorm=detred.norm(w),
+                    nmv=nmv, rnorm_history=hist if nh else None)
 
 
 def pcpg(

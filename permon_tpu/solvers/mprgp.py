@@ -91,6 +91,7 @@ class _State:
     nprop: jax.Array
     nfinc: jax.Array
     nfall: jax.Array
+    hist: jax.Array  # fixed-size ||gP|| history (unused 1-slot when off)
     aux: Any  # convergence-test state (SMALXE hooks in here)
 
 
@@ -108,6 +109,9 @@ class MPRGPResult:
     nfall: jax.Array
     g: jax.Array  # final gradient A x - b (multiplier recovery reuses it)
     alpha: jax.Array = None  # final step length (persists across SMALXE inner solves)
+    #: per-iteration ||gP|| buffer when called with ``history > 0``
+    #: (QPS residual history, qpsimpl.h:62-70)
+    rnorm_history: Optional[jax.Array] = None
     aux: Any = None
 
 
@@ -125,12 +129,15 @@ def mprgp(
     conv_aux: Any = (),
     maxeig: Optional[jax.Array] = None,
     alpha0: Optional[jax.Array] = None,
+    history: int = 0,
 ) -> MPRGPResult:
     """Solve min 1/2 x'Ax - b'x s.t. lb <= x <= ub.
 
     ``conv_test(aux, it, rnorm, x, g) -> (reason_int32, aux)`` may replace the
     default test — SMALXE injects its coupled inner/outer test this way
     (reference: QPSConverged_Inner_SMALXE, smalxe.c:609-692).
+    ``history`` > 0 records that many per-iteration ||gP|| values in a
+    fixed-size device buffer surfaced as ``result.rnorm_history``.
     """
     A, b = qp.A, qp.b
     if qp.box is None:
@@ -337,12 +344,16 @@ def mprgp(
             nmv=st.nmv + 1, nprop=st.nprop + 1, step=jnp.int32(_STEP_PROP),
         )
 
+    nh = int(history)
+
     def body(st):
         gP = st.gf + st.gc
         rnorm = jnp.linalg.norm(gP)
         gcTgc = jnp.vdot(st.gc, st.gc)
         gfTgf = jnp.vdot(st.gf, st.gf)
         st = st.replace(rnorm=rnorm)
+        if nh:
+            st = st.replace(hist=st.hist.at[jnp.minimum(st.it, nh - 1)].set(rnorm))
         monitor(st)
         reason, aux = conv_test(st.aux, st.it, rnorm, st.x, st.g)
         st = st.replace(reason=reason, aux=aux)
@@ -367,11 +378,13 @@ def mprgp(
         it=jnp.int32(0), reason=jnp.int32(0), step=jnp.int32(_STEP_NONE),
         nmv=jnp.int32(1), ncg=jnp.int32(0), nexp=jnp.int32(0),
         nprop=jnp.int32(0), nfinc=jnp.int32(0), nfall=jnp.int32(0),
+        hist=jnp.full((max(nh, 1),), jnp.nan, dtype=dtype),
         aux=conv_aux,
     )
     st = jax.lax.while_loop(lambda s: s.reason == 0, body, st0)
     return MPRGPResult(
         x=st.x, reason=st.reason, iterations=st.it, rnorm=st.rnorm,
         nmv=st.nmv, ncg=st.ncg, nexp=st.nexp, nprop=st.nprop,
-        nfinc=st.nfinc, nfall=st.nfall, g=st.g, alpha=st.alpha, aux=st.aux,
+        nfinc=st.nfinc, nfall=st.nfall, g=st.g, alpha=st.alpha,
+        rnorm_history=st.hist if nh else None, aux=st.aux,
     )

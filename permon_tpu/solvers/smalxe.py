@@ -131,6 +131,8 @@ class SMALXEResult:
     nexp: jax.Array
     nprop: jax.Array
     inner_reason: jax.Array
+    #: per-OUTER-iteration max(G, E) buffer when called with ``history > 0``
+    rnorm_history: Optional[jax.Array] = None
 
 
 def _make_inner_test(B, cE, monitor):
@@ -188,10 +190,10 @@ def _make_inner_test(B, cE, monitor):
                 ConvergedReason.DIVERGED_NANORINF,
                 jnp.where(
                     outer_reason > 0,
-                    9,  # KSP_CONVERGED_HAPPY_BREAKDOWN
+                    ConvergedReason.CONVERGED_HAPPY_BREAKDOWN,  # KSPReason=7
                     jnp.where(
                         outer_reason < 0,
-                        -5,  # KSP_DIVERGED_BREAKDOWN
+                        ConvergedReason.DIVERGED_BREAKDOWN,  # -5
                         jnp.where(
                             atol_stop,
                             ConvergedReason.CONVERGED_ATOL,
@@ -223,6 +225,7 @@ def smalxe(
     opts: SMALXEOptions = SMALXEOptions(),
     tol: Tolerances = Tolerances(),
     projector_apply_P=None,
+    history: int = 0,
 ) -> SMALXEResult:
     """Solve min 1/2 x'Ax - b'x s.t. BE x = 0 (+ box constraints).
 
@@ -306,7 +309,9 @@ def smalxe(
         nexp=jnp.int32(0),
         nprop=jnp.int32(0),
         inner_reason=jnp.int32(0),
+        hist=jnp.full((max(int(history), 1),), jnp.nan, dtype=dtype),
     )
+    nh = int(history)
 
     def body(c):
         # multiplier update with the rho of the previous inner solve
@@ -387,11 +392,14 @@ def smalxe(
             aux.outer_reason,
         )
 
+        hist = c["hist"]
+        if nh:
+            hist = hist.at[jnp.minimum(it - 1, nh - 1)].set(aux.outer_rnorm)
         return dict(
             u=u, Btmu=Btmu, rho=rho, rho_lambda=c["rho"], M1=M1,
             state=aux.state, Lag_old=Lag, alpha=alpha, maxeig_inner=maxeig_inner,
             it=it, reason=outer_reason, accu=c["accu"] + res.iterations,
-            rnorm=aux.outer_rnorm, normBu=aux.normBu,
+            rnorm=aux.outer_rnorm, normBu=aux.normBu, hist=hist,
             m1_updates=c["m1_updates"] + m1_do.astype(jnp.int32),
             rho_updates=c["rho_updates"] + rho_do.astype(jnp.int32),
             m1_hits=c["m1_hits"] + aux.m1_hit.astype(jnp.int32),
@@ -413,4 +421,5 @@ def smalxe(
         M1_hits=c["m1_hits"], eta_hits=c["eta_hits"],
         nmv=c["nmv"], ncg=c["ncg"], nexp=c["nexp"], nprop=c["nprop"],
         inner_reason=c["inner_reason"],
+        rnorm_history=c["hist"] if nh else None,
     )

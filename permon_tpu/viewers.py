@@ -24,40 +24,77 @@ def _fmt(x) -> str:
     return f"{float(x):.2e}"
 
 
-def view_convergence(result, solver: str = "mpgp", tol=None) -> str:
-    """'last QPSSolve ...' + per-solver step counters."""
+def view_convergence(result, solver: str = "mpgp", tol=None,
+                     indent: int = 1) -> str:
+    """'last QPSSolve ...' + per-solver step counters, with the reference's
+    ASCII-viewer indentation (two spaces per level) so the output diffs
+    LITERALLY against the committed expected-output files
+    (src/tutorials/output/*.out)."""
+    pad = "  " * indent
     reason = int(result.reason)
     name = REASON_NAMES.get(reason, str(reason))
     status = "CONVERGED" if reason > 0 else "DIVERGED"
     lines = [
-        f"last QPSSolve {status} due to {name}, KSPReason={reason}, "
+        f"{pad}last QPSSolve {status} due to {name}, KSPReason={reason}, "
         f"required {int(result.iterations)} iterations"
     ]
+    pad2 = "  " * (indent + 1)
     if hasattr(result, "nmv"):
-        lines.append(f"number of Hessian multiplications {int(result.nmv)}")
+        lines.append(f"{pad2}number of Hessian multiplications {int(result.nmv)}")
     if hasattr(result, "ncg"):
         lines += [
-            f"number of CG steps {int(result.ncg)}",
-            f"number of expansion steps {int(result.nexp)}",
-            f"number of proportioning steps {int(result.nprop)}",
+            f"{pad2}number of CG steps {int(result.ncg)}",
+            f"{pad2}number of expansion steps {int(result.nexp)}",
+            f"{pad2}number of proportioning steps {int(result.nprop)}",
         ]
-    if hasattr(result, "inner_iterations"):
-        lines.append(f"number of inner iterations {int(result.inner_iterations)}")
     return "\n".join(lines)
 
 
-def view_convergence_smalxe(result) -> str:
-    """QPSViewConvergence_SMALXE (smalxe.c:1000-1019): outer/inner iteration
-    accounting plus the M1/eta hit counters of the adaptive update rule."""
-    lines = [view_convergence(result)]
+def view_convergence_smalxe(result, indent: int = 1) -> str:
+    """QPSViewConvergence_SMALXE (smalxe.c:1000-1019): outer line, inner
+    iteration total, M1/eta hit + update counters, then the INNER solver's
+    convergence view one level deeper — the exact nesting of the reference's
+    ASCII viewer (cf. output/ex3_nullspace.out)."""
+    pad2 = "  " * (indent + 1)
+    lines = [view_convergence(result, indent=indent)]
     lines += [
-        f"SMALXE: inner iterations {int(result.inner_iterations)}, "
-        f"M1 hits {int(result.M1_hits)}, eta hits {int(result.eta_hits)}",
-        f"SMALXE: M1 updates {int(result.M1_updates)}, rho updates "
-        f"{int(result.rho_updates)}, final M1 {float(result.M1):.3e}, "
-        f"rho {float(result.rho):.3e}",
+        f"{pad2}Total number of inner iterations {int(result.inner_iterations)}",
+        f"{pad2}#hits    of M1, eta: {int(result.M1_hits):3d}, {int(result.eta_hits):3d}",
+        f"{pad2}#updates of M1, rho: {int(result.M1_updates):3d}, {int(result.rho_updates):3d}",
+    ]
+    # inner solver view (QPSViewConvergence(smalxe->inner)) one level deeper
+    inner_reason = int(result.inner_reason)
+    name = REASON_NAMES.get(inner_reason, str(inner_reason))
+    status = "CONVERGED" if inner_reason > 0 else "DIVERGED"
+    pad3 = "  " * (indent + 2)
+    pad4 = "  " * (indent + 3)
+    lines += [
+        f"{pad3}last QPSSolve {status} due to {name}, KSPReason={inner_reason}, "
+        f"required {int(result.inner_iterations)} iterations",
+        f"{pad4}number of Hessian multiplications {int(result.nmv)}",
+        f"{pad4}number of CG steps {int(result.ncg)}",
+        f"{pad4}number of expansion steps {int(result.nexp)}",
+        f"{pad4}number of proportioning steps {int(result.nprop)}",
     ]
     return "\n".join(lines)
+
+
+def view_history(result, solver: str = "QPS") -> str:
+    """Per-iteration residual-norm lines from a recorded history buffer
+    (the default QPS monitor format, qps.c monitors + residual-history
+    arrays qpsimpl.h:62-70).  Solvers record the history when called with
+    ``history > 0``."""
+    hist = getattr(result, "rnorm_history", None)
+    if hist is None:
+        return f"(no residual history recorded for this {solver} result)"
+    import numpy as np
+
+    h = np.asarray(hist)
+    n = min(int(result.iterations) + 1, len(h))
+    return "\n".join(
+        f"{i:3d} {solver} ||r||={h[i]:.12e}" for i in range(n)
+        if not np.isnan(h[i])
+    )
 
 
 def view_kkt(qp: QP, x, g=None, lambda_E=None, lambda_I=None) -> str:

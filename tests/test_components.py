@@ -247,7 +247,11 @@ class TestSmalxeView:
         from permon_tpu.viewers import view_convergence_smalxe
 
         txt = view_convergence_smalxe(res)
-        assert "M1 hits" in txt and "rho updates" in txt
+        # reference QPSViewConvergence_SMALXE format (smalxe.c:1000-1019)
+        assert "Total number of inner iterations" in txt
+        assert "#hits    of M1, eta:" in txt
+        assert "#updates of M1, rho:" in txt
+        assert txt.count("last QPSSolve") == 2  # outer + nested inner view
 
 
 class TestSplitAndRemoveGluing:
