@@ -88,7 +88,9 @@ class MixedPrecision(LinearOperator):
 
 
 def with_precision(op, policy: str):
-    """Apply a precision policy to an operator (module docstring)."""
+    """Apply a precision policy to an OPERATOR (f64-interface wrappers).
+    For whole-QP policies — f32 state with f64 reductions — use
+    :func:`qp_with_precision` / ``QP.with_precision``."""
     if policy == "f64":
         return op
     if policy == "f32":
@@ -98,3 +100,89 @@ def with_precision(op, policy: str):
     if policy == "bf16_mixed":
         return MixedPrecision(inner=cast_floats(op, jnp.bfloat16))
     raise ValueError(f"unknown precision policy {policy!r}; one of {POLICIES}")
+
+
+def qp_with_precision(qp, policy: str):
+    """Whole-QP precision policy (the round-3 'mixed' redesign).
+
+    The round-2 policy wrapped only the operator matvec behind an f64
+    interface, leaving every iterate, axpy and gradient split in f64 — it
+    bought ~1% (BENCH_r02: mixed 364.8 ms vs f64 368.6 ms vs f32 17.6 ms).
+    What actually dominates the TPU loop is the f64 VECTOR work, so:
+
+    - 'f32'   — everything f32: operator storage, rhs, bounds, iterates,
+      dots (fastest; ~1e-6 relative accuracy);
+    - 'mixed' — f32 storage AND f32 iterates/axpys, but every dot product /
+      norm a solver takes is PROMOTED to f64 (``dots_dtype``), so the
+      recurrence scalars and convergence tests keep f64-grade accuracy.
+      Iteration-count parity with f64 on the shipped oracles is asserted in
+      tests/test_precision.py;
+    - 'bf16_mixed' — like 'mixed' with bf16 operator storage (halved HBM
+      traffic again) and f32 vectors.
+
+    The projector factory (coarse problem) is NOT cast: its internal math
+    stays f64 and its applications cast back to the iterate dtype
+    (Projector.apply_* are dtype-preserving), mirroring the reference's
+    always-f64 coarse solve."""
+    if policy == "f64":
+        return qp
+    if policy not in POLICIES:
+        raise ValueError(f"unknown precision policy {policy!r}; one of {POLICIES}")
+    vec_dtype = jnp.float32
+    store_dtype = jnp.bfloat16 if policy == "bf16_mixed" else jnp.float32
+    A = cast_floats(qp.A, store_dtype)
+    if store_dtype != vec_dtype:
+        A = CastTo(inner=A, dtype=str(jnp.dtype(vec_dtype)))
+    out = qp.replace(
+        A=A,
+        b=qp.b.astype(vec_dtype),
+        x0=qp.x0.astype(vec_dtype) if qp.x0 is not None else None,
+        box=cast_floats(qp.box, vec_dtype),
+        BE=cast_floats(qp.BE, vec_dtype),
+        cE=qp.cE.astype(vec_dtype) if qp.cE is not None else None,
+        BI=cast_floats(qp.BI, vec_dtype),
+        cI=qp.cI.astype(vec_dtype) if qp.cI is not None else None,
+    )
+    if policy in ("mixed", "bf16_mixed"):
+        out = out.replace(dots_dtype="float64")
+    return out
+
+
+@struct.dataclass
+class CastTo(LinearOperator):
+    """Fixed-output-dtype wrapper: y = A(x) cast to ``dtype`` (used to give
+    a bf16-storage operator an f32 vector interface)."""
+
+    inner: Any
+    dtype: str = struct.field(pytree_node=False, default="float32")
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    def mv(self, x):
+        return self.inner.mv(x).astype(jnp.dtype(self.dtype))
+
+    def rmv(self, x):
+        return self.inner.rmv(x).astype(jnp.dtype(self.dtype))
+
+    def diagonal(self):
+        return self.inner.diagonal().astype(jnp.dtype(self.dtype))
+
+
+def reducers(dots_dtype):
+    """(vdot, norm) honoring an optional promotion dtype for reductions.
+    Composes with the deterministic fixed-tree mode (core/detred)."""
+    from . import detred
+
+    if dots_dtype is None:
+        return detred.vdot, detred.norm
+    dd = jnp.dtype(dots_dtype)
+
+    def vdot(x, y):
+        return detred.vdot(x.astype(dd), y.astype(dd))
+
+    def norm(x):
+        return detred.norm(x.astype(dd))
+
+    return vdot, norm

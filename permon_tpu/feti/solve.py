@@ -331,7 +331,17 @@ def _feti_solve_impl(
     dual, post_d = dualize(qp, kplus=kplus, coarse=opts.coarse)
     steps.append((dual, post_d))
     cur = dual
-    if opts.precision != "f64":
+    if opts.precision == "mixed":
+        # dual-pipeline 'mixed' = f32 OPERATOR STORAGE behind an f64 vector
+        # interface: the projected oracles (e.g. feti ex1's 1-iteration
+        # convergence to ~1e-16) need f64 dual vectors, while the hot cost —
+        # streaming the K+ factors — halves.  The f32-state QP-level policy
+        # (qp_with_precision) is for box-QP solvers where vector work
+        # dominates.
+        from ..core.precision import with_precision as _op_precision
+
+        cur = cur.replace(A=_op_precision(cur.A, "mixed"))
+    elif opts.precision != "f64":
         cur = cur.with_precision(opts.precision)
 
     if opts.orth_G and cur.BE is not None:

@@ -136,7 +136,12 @@ class Projector:
         return cls(G=G, ggt_chol=chol, orthonormal_rows=False, ggt_inv=inv)
 
     def apply_cp(self, v):
-        """Coarse-problem solve (GG')^{-1} v (QPPFApplyCP, qppf.c:610-645)."""
+        """Coarse-problem solve (GG')^{-1} v (QPPFApplyCP, qppf.c:610-645).
+
+        Dtype-preserving: the internal factor math runs at the FACTOR's
+        precision (f64 by default — the reference's always-f64 coarse
+        solve), but the result is cast back to the input dtype so mixed-
+        precision iterates stay f32 through projector applications."""
         if self.orthonormal_rows:
             return v
         if self.ggt_band is not None:
@@ -146,17 +151,17 @@ class Projector:
             y = self.ggt_band.mv(jnp.concatenate([vp, jnp.zeros(pad, v.dtype)]))
             return jnp.zeros_like(v).at[self.cp_perm].set(y[:m])
         if self.ggt_inv is not None:
-            return self.ggt_inv @ v
-        return jax.scipy.linalg.cho_solve((self.ggt_chol, True), v)
+            return (self.ggt_inv @ v).astype(v.dtype)
+        return jax.scipy.linalg.cho_solve((self.ggt_chol, True), v).astype(v.dtype)
 
     def apply_half_q(self, x):
-        return self.apply_cp(self.G.mv(x))
+        return self.apply_cp(self.G.mv(x)).astype(x.dtype)
 
     def apply_half_q_t(self, v):
-        return self.G.rmv(self.apply_cp(v))
+        return self.G.rmv(self.apply_cp(v)).astype(v.dtype)
 
     def apply_q(self, x):
-        return self.G.rmv(self.apply_cp(self.G.mv(x)))
+        return self.G.rmv(self.apply_cp(self.G.mv(x))).astype(x.dtype)
 
     def apply_p(self, x):
         return x - self.apply_q(x)

@@ -36,6 +36,9 @@ class QP:
     cI: Optional[jax.Array] = None
     R: Any = None  # operator whose columns span ker(A)
     pf: Any = None  # Projector factory over BE (the QPPF analog, lazily set)
+    #: reduction-promotion dtype for solver dots/norms (mixed precision:
+    #: f32 state + f64 reductions; see core/precision.qp_with_precision)
+    dots_dtype: Optional[str] = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, A, b, x0=None, lb=None, ub=None, BE=None, cE=None, BI=None, cI=None, R=None) -> "QP":
@@ -57,12 +60,14 @@ class QP:
         return self.A.shape[1]
 
     def with_precision(self, policy: str) -> "QP":
-        """Apply a mixed-precision policy to the Hessian (the hot operator);
-        rhs, constraints and solver reductions stay f64.  See
-        :mod:`permon_tpu.core.precision`."""
-        from ..core.precision import with_precision
+        """Apply a whole-QP precision policy: 'f32' casts operator storage,
+        rhs, bounds and constraints to f32 (iterates follow); 'mixed' is f32
+        state with every solver dot/norm promoted to f64; 'bf16_mixed' adds
+        bf16 operator storage behind an f32 vector interface.  See
+        :func:`permon_tpu.core.precision.qp_with_precision`."""
+        from ..core.precision import qp_with_precision
 
-        return self.replace(A=with_precision(self.A, policy))
+        return qp_with_precision(self, policy)
 
     def initial_vector(self) -> jax.Array:
         if self.x0 is not None:

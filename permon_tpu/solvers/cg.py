@@ -48,10 +48,13 @@ def cg(
     ``history`` > 0 records that many per-iteration residual norms in a
     fixed-size device buffer surfaced as ``result.rnorm_history``.
     """
+    from ..core.precision import reducers
+
     A, b = qp.A, qp.b
+    vdot, vnorm = reducers(qp.dots_dtype)  # f64-promoted dots under 'mixed'
     x0 = qp.initial_vector()
 
-    norm_rhs = detred.norm(b)
+    norm_rhs = vnorm(b)
     ttol = jnp.maximum(tol.rtol * norm_rhs, tol.atol)
     P = project if project is not None else (lambda v: v)
     M = precond if precond is not None else (lambda v: v)
@@ -59,7 +62,7 @@ def cg(
 
     def body(carry):
         x, r, w, z, p, wz, it, reason, nmv, hist = carry
-        rnorm = detred.norm(w)
+        rnorm = vnorm(w)
         if nh:
             hist = hist.at[jnp.minimum(it, nh - 1)].set(rnorm)
         if monitor:
@@ -71,7 +74,7 @@ def cg(
 
         def step(_):
             Ap = A.mv(p)
-            pAp = detred.vdot(p, Ap)
+            pAp = vdot(p, Ap)
             a = wz / pAp
             # breakdown handling a la PETSc KSPSolve_CG: a nonpositive or
             # non-finite curvature means the (projected) residual has hit
@@ -79,14 +82,14 @@ def cg(
             # space so P = 0) — keep the current iterate and stop with
             # CONVERGED_ATOL rather than polluting x with NaN
             broke = jnp.logical_not(jnp.isfinite(a)) | (pAp <= 0.0)
-            a = jnp.where(broke, 0.0, a)
+            a = jnp.where(broke, 0.0, a).astype(x.dtype)
             x2 = x + a * p
             r2 = r - a * Ap
             w2 = P(r2)
             z2 = M(w2)
             y2 = P(z2) if precond is not None else z2
-            wz2 = detred.vdot(w2, y2)
-            beta = jnp.where(broke, 0.0, wz2 / wz)
+            wz2 = vdot(w2, y2)
+            beta = jnp.where(broke, 0.0, wz2 / wz).astype(x.dtype)
             p2 = y2 + beta * p
             reason2 = jnp.where(broke, jnp.int32(3), reason)
             return x2, r2, w2, z2, p2, wz2, it + 1, reason2, nmv + 1, hist
@@ -100,12 +103,13 @@ def cg(
     w0 = P(r0)
     z0 = M(w0)
     y0 = P(z0) if precond is not None else z0
-    hist0 = jnp.full((max(nh, 1),), jnp.nan, dtype=b.dtype)
-    carry0 = (x0, r0, w0, z0, y0, detred.vdot(w0, y0), jnp.int32(0),
+    rdtype = jnp.dtype(qp.dots_dtype) if qp.dots_dtype else b.dtype
+    hist0 = jnp.full((max(nh, 1),), jnp.nan, dtype=rdtype)
+    carry0 = (x0, r0, w0, z0, y0, vdot(w0, y0), jnp.int32(0),
               jnp.int32(0), jnp.int32(1), hist0)
     out = jax.lax.while_loop(lambda c: c[7] == 0, body, carry0)
     x, _, w, _, _, _, it, reason, nmv, hist = out
-    return CGResult(x=x, reason=reason, iterations=it, rnorm=detred.norm(w),
+    return CGResult(x=x, reason=reason, iterations=it, rnorm=vnorm(w),
                     nmv=nmv, rnorm_history=hist if nh else None)
 
 

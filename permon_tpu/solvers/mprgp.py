@@ -139,7 +139,10 @@ def mprgp(
     ``history`` > 0 records that many per-iteration ||gP|| values in a
     fixed-size device buffer surfaced as ``result.rnorm_history``.
     """
+    from ..core.precision import reducers
+
     A, b = qp.A, qp.b
+    vdot, vnorm = reducers(qp.dots_dtype)  # f64-promoted dots under 'mixed'
     if qp.box is None:
         # unbounded box: the algorithm degenerates to plain CG (no chopped
         # gradient, infinite feasible steps) — used by SMALXE for
@@ -170,7 +173,7 @@ def mprgp(
         alpha_init = jnp.asarray(alpha0, dtype)  # warm-started alpha (SMALXE)
 
     if conv_test is None:
-        norm_rhs = jnp.linalg.norm(b)
+        norm_rhs = vnorm(b)
         ttol = jnp.maximum(tol.rtol * norm_rhs, tol.atol)
 
         def conv_test(aux, it, rnorm, x, g):
@@ -207,22 +210,22 @@ def mprgp(
             return alpha, nmv
         if lt == "opt":
             ad = A.mv(d)
-            dots0, dots1 = jnp.vdot(d, g), jnp.vdot(d, ad)
+            dots0, dots1 = vdot(d, g), vdot(d, ad)
             bad = dots1 == 0.0
             new = jnp.where(bad & opts.resetalpha, alpha / maxeig_val, alpha_user * dots0 / dots1)
-            return new, nmv + 1
+            return new.astype(alpha.dtype), nmv + 1
         if lt == "optapprox":
             if explv_key == "g":
                 return jnp.asarray(alpha_user / maxeig_val, alpha.dtype), nmv
-            dots0, dots1 = jnp.vdot(d, g), jnp.vdot(d, d)
-            return alpha_user * dots0 / dots1 / maxeig_val, nmv
+            dots0, dots1 = vdot(d, g), vdot(d, d)
+            return (alpha_user * dots0 / dots1 / maxeig_val).astype(alpha.dtype), nmv
         # bb: differences across the half-step within this expansion
         v0 = d - dold
         v1 = x - xold
-        dots0, dots1 = jnp.vdot(v0, v0), jnp.vdot(v0, v1)
+        dots0, dots1 = vdot(v0, v0), vdot(v0, v1)
         bad = dots1 == 0.0
         new = jnp.where(bad & opts.resetalpha, alpha / maxeig_val, alpha_user * dots0 / dots1)
-        return new, nmv
+        return new.astype(alpha.dtype), nmv
 
     def expansion_std(st, Ap, afeas, project_after):
         """Half feasible step + re-split + length + expansion-direction step
@@ -254,8 +257,8 @@ def mprgp(
                 it=st.it,
                 s=st.step,
                 r=st.rnorm,
-                gf=jnp.linalg.norm(st.gf),
-                gc=jnp.linalg.norm(st.gc),
+                gf=vnorm(st.gf),
+                gc=vnorm(st.gc),
                 a=st.alpha,
             )
         if opts.monitor_cost:
@@ -264,14 +267,15 @@ def mprgp(
             jax.debug.print(
                 "{it:>3} MPGP f(x)={f:.10e}",
                 it=st.it,
-                f=0.5 * jnp.vdot(st.x, st.g - b),
+                f=0.5 * vdot(st.x, st.g - b),
             )
 
     def take_cg(st, Ap, pAp, acg):
+        acg = acg.astype(st.x.dtype)
         x = st.x - acg * st.p
         g = st.g - acg * Ap
         gf, gc, gr = _grads_all(box, x, g, st.alpha)
-        bcg = jnp.vdot(Ap, gf) / pAp
+        bcg = (vdot(Ap, gf) / pAp).astype(st.x.dtype)
         p = gf - bcg * st.p
         return st.replace(
             x=x, g=g, p=p, gf=gf, gc=gc, gr=gr, ncg=st.ncg + 1, step=jnp.int32(_STEP_CG)
@@ -286,14 +290,14 @@ def mprgp(
         st2 = st2.replace(g=g2, nmv=st2.nmv + 1, step=jnp.int32(_STEP_EXP))
 
         if opts.fallback or opts.fallback2:
-            fold = 0.5 * jnp.vdot(xold, gold - b)
-            f = 0.5 * jnp.vdot(st2.x, st2.g - b)
+            fold = 0.5 * vdot(xold, gold - b)
+            f = 0.5 * vdot(st2.x, st2.g - b)
 
             def handle_increase(s):
                 s = s.replace(nfinc=s.nfinc + 1)
                 if opts.fallback2:
                     gf2, gc2 = box.grads(s.x, s.g)
-                    prop2 = jnp.vdot(gc2, gc2) <= gamma2 * jnp.vdot(gf2, gf2)
+                    prop2 = vdot(gc2, gc2) <= gamma2 * vdot(gf2, gf2)
                     do_fall = jnp.logical_not(prop2)
                 else:
                     do_fall = jnp.asarray(True)
@@ -320,8 +324,8 @@ def mprgp(
 
     def proportional_branch(st):
         Ap = A.mv(st.p)
-        pAp = jnp.vdot(st.p, Ap)
-        acg = jnp.vdot(st.g, st.p) / pAp
+        pAp = vdot(st.p, Ap)
+        acg = vdot(st.g, st.p) / pAp
         afeas = box.feas(st.x, st.p)
         st = st.replace(nmv=st.nmv + 1)
         return jax.lax.cond(
@@ -334,8 +338,8 @@ def mprgp(
     def proportioning_branch(st):
         p = st.gc
         Ap = A.mv(p)
-        pAp = jnp.vdot(p, Ap)
-        acg = jnp.vdot(st.g, p) / pAp
+        pAp = vdot(p, Ap)
+        acg = (vdot(st.g, p) / pAp).astype(st.x.dtype)
         x = st.x - acg * p
         g = st.g - acg * Ap
         gf, gc, gr = _grads_all(box, x, g, st.alpha)
@@ -348,9 +352,9 @@ def mprgp(
 
     def body(st):
         gP = st.gf + st.gc
-        rnorm = jnp.linalg.norm(gP)
-        gcTgc = jnp.vdot(st.gc, st.gc)
-        gfTgf = jnp.vdot(st.gf, st.gf)
+        rnorm = vnorm(gP)
+        gcTgc = vdot(st.gc, st.gc)
+        gfTgf = vdot(st.gf, st.gf)
         st = st.replace(rnorm=rnorm)
         if nh:
             st = st.replace(hist=st.hist.at[jnp.minimum(st.it, nh - 1)].set(rnorm))
@@ -368,17 +372,18 @@ def mprgp(
 
     # --------------------------------------------------------------- drive
 
+    rdtype = jnp.dtype(qp.dots_dtype) if qp.dots_dtype else dtype
     x0 = box.project(qp.initial_vector())
     g0 = A.mv(x0) - b
     gf0, gc0, gr0 = _grads_all(box, x0, g0, alpha_init)
     st0 = _State(
         x=x0, g=g0, p=gf0, gf=gf0, gc=gc0, gr=gr0,
         alpha=jnp.asarray(alpha_init, dtype),
-        rnorm=jnp.asarray(jnp.inf, dtype),
+        rnorm=jnp.asarray(jnp.inf, rdtype),
         it=jnp.int32(0), reason=jnp.int32(0), step=jnp.int32(_STEP_NONE),
         nmv=jnp.int32(1), ncg=jnp.int32(0), nexp=jnp.int32(0),
         nprop=jnp.int32(0), nfinc=jnp.int32(0), nfall=jnp.int32(0),
-        hist=jnp.full((max(nh, 1),), jnp.nan, dtype=dtype),
+        hist=jnp.full((max(nh, 1),), jnp.nan, dtype=rdtype),
         aux=conv_aux,
     )
     st = jax.lax.while_loop(lambda s: s.reason == 0, body, st0)

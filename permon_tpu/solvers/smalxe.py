@@ -70,6 +70,11 @@ class SMALXEOptions:
     maxeig_tol: float = 1e-4
     maxeig_iter: int = 50
     inject_maxeig: bool = False  # set True when BE has orthonormal rows
+    #: explicit inner (penalized-operator) maxeig estimate, bypassing the
+    #: power method — used by representation-changing callers (the scaled
+    #: leaf space) to keep the estimate, and hence iteration counts,
+    #: identical to the row-space solve
+    maxeig_inner: Optional[Any] = None
     inner_iter_min: int = 1
     inner_no_gtol_stop: int = 0
     knoll: bool = False
@@ -135,14 +140,14 @@ class SMALXEResult:
     rnorm_history: Optional[jax.Array] = None
 
 
-def _make_inner_test(B, cE, monitor):
+def _make_inner_test(B, cE, monitor, norm_fn=jnp.linalg.norm):
     """The SMALXE inner convergence test (smalxe.c:612-692)."""
 
     def test(aux: _InnerAux, i, gnorm, u, g):
         Bu = B.mv(u)
         if cE is not None:
             Bu = Bu - cE
-        normBu = jnp.linalg.norm(Bu)
+        normBu = norm_fn(Bu)
         enorm = normBu / aux.rtol_E
         outer_rnorm = jnp.maximum(enorm, gnorm)
         MNormBu = aux.M1 * normBu
@@ -235,11 +240,15 @@ def smalxe(
     ``projector_apply_P`` enables the Knoll initial guess u0 = P b.
     """
     assert qp.BE is not None, "SMALXE requires equality constraints"
+    from ..core.precision import reducers
+
     A, B, b = qp.A, qp.BE, qp.b
+    vdot, vnorm = reducers(qp.dots_dtype)  # f64-promoted dots under 'mixed'
     dtype = b.dtype
+    rdtype = jnp.dtype(qp.dots_dtype) if qp.dots_dtype else dtype
 
     # --- parameter initialization (QPSSetUp_SMALXE, smalxe.c:800-830) -------
-    normb = jnp.linalg.norm(b)
+    normb = vnorm(b)
     eta = jnp.asarray(opts.eta, dtype) if opts.eta_direct else opts.eta * normb
     need_maxeig = (not opts.M1_direct) or (not opts.rho_direct) or opts.inject_maxeig
     if opts.maxeig is not None:
@@ -258,7 +267,9 @@ def smalxe(
     # max(rho, maxeig_A) when G is orthonormal, else power method on the
     # penalized operator (computed once; rescaled on rho updates)
     pen0 = Penalized(a=A, b=B, rho=rho_init)
-    if opts.inject_maxeig:
+    if opts.maxeig_inner is not None:
+        maxeig_inner0 = jnp.asarray(opts.maxeig_inner, dtype)
+    elif opts.inject_maxeig:
         maxeig_inner0 = jnp.maximum(rho_init, maxeig_A)
     else:
         maxeig_inner0 = max_eigenvalue(
@@ -271,7 +282,7 @@ def smalxe(
         else alpha_user / maxeig_inner0
     )
 
-    inner_test = _make_inner_test(B, None, opts.monitor)
+    inner_test = _make_inner_test(B, None, opts.monitor, norm_fn=vnorm)
 
     u0 = qp.initial_vector()
     if opts.knoll and projector_apply_P is not None:
@@ -282,7 +293,7 @@ def smalxe(
 
     def lagrangian(u, b_inner, rho):
         pen = Penalized(a=A, b=B, rho=rho)
-        return 0.5 * jnp.vdot(u, pen.mv(u)) - jnp.vdot(b_inner, u)
+        return 0.5 * vdot(u, pen.mv(u)) - vdot(b_inner, u)
 
     # outer carry
     carry0 = dict(
@@ -298,8 +309,8 @@ def smalxe(
         it=jnp.int32(0),
         reason=jnp.int32(0),
         accu=jnp.int32(0),
-        rnorm=jnp.asarray(jnp.inf, dtype),
-        normBu=jnp.linalg.norm(B.mv(u0)),
+        rnorm=jnp.asarray(jnp.inf, rdtype),
+        normBu=vnorm(B.mv(u0)),
         m1_updates=jnp.int32(0),
         rho_updates=jnp.int32(0),
         m1_hits=jnp.int32(0),
@@ -309,7 +320,7 @@ def smalxe(
         nexp=jnp.int32(0),
         nprop=jnp.int32(0),
         inner_reason=jnp.int32(0),
-        hist=jnp.full((max(int(history), 1),), jnp.nan, dtype=dtype),
+        hist=jnp.full((max(int(history), 1),), jnp.nan, dtype=rdtype),
     )
     nh = int(history)
 
@@ -323,15 +334,15 @@ def smalxe(
             M1=c["M1"], eta=eta, gtol=jnp.asarray(gtol, dtype),
             ttol_outer=ttol_outer, atol_outer=jnp.asarray(tol.atol, dtype),
             divtol=jnp.asarray(tol.divtol, dtype),
-            norm_rhs_div=jnp.linalg.norm(b_inner),
+            norm_rhs_div=vnorm(b_inner),
             outer_it=c["it"], outer_max_it=jnp.int32(tol.max_it),
             budget=jnp.int32(opts.inner_max_it) - c["accu"],
             rtol_E=jnp.asarray(opts.rtol_E, dtype),
             inner_iter_min=jnp.int32(opts.inner_iter_min),
             inner_no_gtol_stop=jnp.int32(opts.inner_no_gtol_stop),
             state=c["state"], normBu=c["normBu"],
-            enorm=jnp.asarray(jnp.inf, dtype), MNormBu=jnp.asarray(jnp.inf, dtype),
-            outer_rnorm=jnp.asarray(jnp.inf, dtype), outer_reason=jnp.int32(0),
+            enorm=jnp.asarray(jnp.inf, rdtype), MNormBu=jnp.asarray(jnp.inf, rdtype),
+            outer_rnorm=jnp.asarray(jnp.inf, rdtype), outer_reason=jnp.int32(0),
             m1_hit=jnp.asarray(False), eta_hit=jnp.asarray(False),
         )
 
@@ -384,7 +395,7 @@ def smalxe(
         # propagate to the inner MPRGP spectral data (QPSMPGPUpdateMaxEigenvalue)
         upd = jnp.where(rho_do, rho_upd, 1.0)
         maxeig_inner = c["maxeig_inner"] * upd
-        alpha = res.alpha if opts.inner.alpha_direct else res.alpha / upd
+        alpha = res.alpha if opts.inner.alpha_direct else (res.alpha / upd).astype(dtype)
 
         outer_reason = jnp.where(
             (aux.outer_reason == 0) & (it >= tol.max_it),
