@@ -78,40 +78,29 @@ def build(ns: int = 4, ne: int = 25):
 
 
 def main(ns: int = 4, ne: int = 25, view: bool = True, throughput: bool = False):
-    import jax.numpy as jnp
-
-    import permon_tpu as pt
+    """``throughput=True`` runs the SAME SMALBE pipeline with the dual
+    iteration in scaled-leaf space (feti/leafqp.py): the stacked [B_gluing;
+    B_obstacle] extension operator, explicit per-block K+ inverses, and box
+    projections acting on leaf copies — identical iteration counts, batched
+    einsum applies instead of per-nnz gathers."""
     from permon_tpu.feti import FetiOptions
-    from permon_tpu.feti.solve import assemble_qp, make_blockdiag_kplus
-    from permon_tpu.qp.transforms import Solution, all_in_one
+    from permon_tpu.feti.solve import feti_solve
     from permon_tpu.viewers import view_convergence_smalxe
 
     prob, BI, cI, lb = build(ns, ne)
     opts = FetiOptions(gluing="nonred", throughput=throughput)
-    qp, K_blocks, fixed_mask, null_bases = assemble_qp(prob, opts)
-    qp = qp.replace(BI=BI, cI=jnp.asarray(cI))
-    kplus = make_blockdiag_kplus(K_blocks, fixed_mask, prob, null_bases,
-                                 explicit=throughput)
-
-    child, post = all_in_one(qp, dual=True, project=True, kplus=kplus)
-    res = pt.solve(child)  # BE (= G) present -> SMALXE around MPRGP (SMALBE)
-    sol = post(Solution(x=res.x, Bt_lambda=getattr(res, "Bt_lambda", None)))
-
-    # reassemble the global solution by averaging dof copies
-    u = np.asarray(sol.x).reshape(prob.ns, prob.nl)
-    n = prob.n_global
-    x_global = np.zeros(n)
-    counts = np.zeros(n)
-    for s in range(prob.ns):
-        np.add.at(x_global, prob.l2g[s], u[s])
-        np.add.at(counts, prob.l2g[s], 1.0)
-    x_global /= counts
+    r = feti_solve(prob, opts, BI=BI, cI=cI)
+    x_global, res, sol = r.x_global, r.result, r.solution
 
     if view:
         print(view_convergence_smalxe(res))
         gap = x_global - lb
-        print(f"active contact nodes: {(gap < 1e-8).sum()} of {n}")
+        print(f"active contact nodes: {(gap < 1e-8).sum()} of {n_nodes(ns, ne)}")
     return x_global, res, sol
+
+
+def n_nodes(ns: int, ne: int) -> int:
+    return ns * ne + 1
 
 
 if __name__ == "__main__":

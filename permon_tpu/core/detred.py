@@ -25,9 +25,36 @@ _DETERMINISTIC = False
 
 
 def set_deterministic(on: bool = True) -> None:
-    """Toggle deterministic reductions globally (read at trace time)."""
+    """Toggle deterministic reductions globally (read at trace time).
+
+    Prefer the PER-SOLVE switches — ``FetiOptions(deterministic=True)`` or
+    ``make_solver(..., deterministic=True)`` — which scope the flag to one
+    solve's trace via :func:`deterministic_mode`; the global toggle is kept
+    for interactive use and cannot retroactively retrace already-jitted
+    solvers (see make_solver's caveat)."""
     global _DETERMINISTIC
     _DETERMINISTIC = bool(on)
+
+
+class deterministic_mode:
+    """Context manager scoping the deterministic-reduction flag to a block
+    (trace-time: wrap the code that BUILDS/TRACES the computation).
+    ``deterministic_mode(None)`` is a no-op (inherit the current mode)."""
+
+    def __init__(self, on):
+        self.on = on
+
+    def __enter__(self):
+        global _DETERMINISTIC
+        self._old = _DETERMINISTIC
+        if self.on is not None:
+            _DETERMINISTIC = bool(self.on)
+        return self
+
+    def __exit__(self, *exc):
+        global _DETERMINISTIC
+        _DETERMINISTIC = self._old
+        return False
 
 
 def enabled() -> bool:

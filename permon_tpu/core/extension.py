@@ -84,6 +84,34 @@ class SubdomainExtension(LinearOperator):
             m_dual=int(m), ns=int(ns), nl=int(nl),
         )
 
+    @classmethod
+    def vstack(cls, ops) -> "SubdomainExtension":
+        """Stack extensions over the dual axis: B = [B1; B2; ...] as ONE
+        extension operator (same ns/nl; slots concatenate along k).  This is
+        how the TFETI constraint operator keeps its extension structure when
+        gluing equalities and contact inequalities combine — the reference
+        reaches the same shape through MatCreateNestPermon + the fused
+        extension product (extension.c:544-620)."""
+        ns, nl = ops[0].ns, ops[0].nl
+        assert all(o.ns == ns and o.nl == nl for o in ops)
+        m_total = int(sum(o.m_dual for o in ops))
+        rows_p, cols_p, vals_p = [], [], []
+        off = 0
+        for o in ops:
+            r = np.asarray(o.rows, dtype=np.int64)
+            # real leaves shift by the running offset; pad slots (row ==
+            # o.m_dual) must point at the COMBINED pad row m_total
+            rows_p.append(np.where(r == o.m_dual, m_total, r + off).astype(np.int32))
+            cols_p.append(np.asarray(o.cols))
+            vals_p.append(np.asarray(o.vals))
+            off += o.m_dual
+        return cls(
+            rows=jnp.asarray(np.concatenate(rows_p, axis=1)),
+            cols=jnp.asarray(np.concatenate(cols_p, axis=1)),
+            vals=jnp.asarray(np.concatenate(vals_p, axis=1)),
+            m_dual=m_total, ns=ns, nl=nl,
+        )
+
     def with_dense_blocks(self) -> "SubdomainExtension":
         """Materialize the condensed per-subdomain blocks for the batched
         MXU apply path (throughput mode; ~k*nl*8 bytes per subdomain)."""

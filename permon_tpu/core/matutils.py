@@ -69,17 +69,12 @@ def has_orthonormal_rows(A, tol: float = 1e-10) -> bool:
 def mult_equal(A, B, n_trials: int = 3, tol: float = 1e-8) -> bool:
     """Random-trial test A x == B x (MatMultEqual; used by the reference's
     debug-mode generalized-inverse checks, qptransform.c:1060-1081).
-    Looser-tolerance variant of :func:`mult_equal_tol` normalized by ||Bx||."""
+    Looser-tolerance front-end of :func:`mult_equal_tol` with a shape guard."""
     A = aslinearoperator(A)
     B = aslinearoperator(B)
     if A.shape != B.shape:
         return False
-    xs = _probe_vecs(A.shape[1], n_trials)
-    for x in xs:
-        ya, yb = A.mv(x), B.mv(x)
-        if float(jnp.linalg.norm(ya - yb)) > tol * max(float(jnp.linalg.norm(yb)), 1.0):
-            return False
-    return True
+    return mult_equal_tol(A, B, tol=tol, trials=n_trials)
 
 
 def has_orthonormal_columns(A, tol: float = 1e-10) -> bool:

@@ -316,6 +316,20 @@ def feti_solve_sparse(
     TFETI pipeline (SURVEY section 7 item 7)."""
     import scipy.sparse as sp
 
+    from ..core.detred import deterministic_mode
+
+    with deterministic_mode(opts.deterministic):
+        return _feti_solve_sparse_body(
+            prob, opts, tol, NB, kplus_dtype, kplus_refine, op_dtype,
+            primal_refine,
+        )
+
+
+def _feti_solve_sparse_body(
+    prob, opts, tol, NB, kplus_dtype, kplus_refine, op_dtype, primal_refine
+) -> FetiResult:
+    import scipy.sparse as sp
+
     qp, kplus, NB = assemble_qp_sparse(
         prob, opts, NB=NB, kplus_dtype=kplus_dtype, kplus_refine=kplus_refine,
         op_dtype=op_dtype,

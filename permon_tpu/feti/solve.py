@@ -92,6 +92,13 @@ class FetiOptions:
     #: is K+-invariant); 'exact'/'gershgorin' force a choice
     rho_mode: str = "auto"
 
+    #: pin every solver reduction (dots, norms, the GG' Gram) to a fixed
+    #: binary tree — bit-identical iteration counts on any device count
+    #: (core/detred.py).  None inherits the process-global mode; True/False
+    #: scope the flag to THIS solve's trace (the per-solve switch the
+    #: global set_deterministic cannot provide)
+    deterministic: Optional[bool] = None
+
     def resolved_rho_mode(self, ns: int) -> str:
         if self.rho_mode != "auto":
             return self.rho_mode
@@ -278,10 +285,17 @@ class FetiSolver:
     >>> r2 = solver.solve(b_loc=new_loads)       # reuses K+, projector
     """
 
-    def __init__(self, prob: FetiProblem, opts: FetiOptions = FetiOptions()):
+    def __init__(
+        self, prob: FetiProblem, opts: FetiOptions = FetiOptions(),
+        BI=None, cI=None,
+    ):
         self.prob = prob
         self.opts = opts
         self.qp, self._K_blocks, self._fixed_mask, self._null_bases = assemble_qp(prob, opts)
+        if BI is not None:
+            self.qp = self.qp.replace(
+                BI=BI, cI=None if cI is None else jnp.asarray(cI)
+            )
         self.kplus = make_blockdiag_kplus(
             self._K_blocks, self._fixed_mask, prob, self._null_bases,
             explicit=opts.throughput,
@@ -309,8 +323,15 @@ def feti_solve(
     prob: FetiProblem,
     opts: FetiOptions = FetiOptions(),
     tol: Tolerances = Tolerances(),
+    BI=None,
+    cI=None,
 ) -> FetiResult:
+    """``BI``/``cI``: optional decomposed-space inequality constraints
+    (BI u <= cI — e.g. a contact obstacle); dualize turns them into the
+    dual box lb=0 and the pipeline becomes SMALBE (SMALXE around MPRGP)."""
     qp, K_blocks, fixed_mask, null_bases = assemble_qp(prob, opts)
+    if BI is not None:
+        qp = qp.replace(BI=BI, cI=None if cI is None else jnp.asarray(cI))
     kplus = make_blockdiag_kplus(
         K_blocks, fixed_mask, prob, null_bases, explicit=opts.throughput,
         sizes=ragged_sizes(prob.l2g) if opts.ragged_kplus else None,
@@ -320,6 +341,19 @@ def feti_solve(
 
 
 def _feti_solve_impl(
+    prob: FetiProblem,
+    opts: FetiOptions,
+    tol: Tolerances,
+    qp: QP,
+    kplus,
+) -> FetiResult:
+    from ..core.detred import deterministic_mode
+
+    with deterministic_mode(opts.deterministic):
+        return _feti_solve_body(prob, opts, tol, qp, kplus)
+
+
+def _feti_solve_body(
     prob: FetiProblem,
     opts: FetiOptions,
     tol: Tolerances,
@@ -360,50 +394,112 @@ def _feti_solve_impl(
         A_blocks = BlockDiagDense(blocks=jnp.asarray(prob.K_blocks))
         precond = PCDual.create(qp.BE, A_blocks, "lumped").mv
 
+    # scaled-leaf dual space (feti/leafqp.py): the fast leaf apply opened to
+    # EVERY solver — contact SMALXE, lumped-PC projected CG, plain CG — via
+    # the sqrt(multiplicity) isometry.  The row-space chain above still
+    # provides the post-solves; only the Krylov/active-set iteration moves
+    # to leaf space.
+    use_leaf = (
+        opts.throughput
+        and opts.precision == "f64"
+        and opts.orth_G is None
+        and isinstance(qp.BE, SubdomainExtension)
+        and (qp.BI is None or isinstance(qp.BI, SubdomainExtension))
+        and hasattr(kplus, "explicitly")
+    )
+    leaf = sls = None
+    if use_leaf:
+        import dataclasses as _dc
+
+        from ..core.eig import max_eigenvalue
+        from ..core.linop import Penalized as _Pen
+        from .leafqp import leaf_dual_qp, lumped_pc_leaf
+
+        # the dual operates on the STACKED constraint operator [BE; BI]
+        # (gluing+Dirichlet equalities over contact inequalities) — one
+        # extension operator, so the whole contact dual lives in leaf space
+        B_full = (
+            qp.BE if qp.BI is None
+            else SubdomainExtension.vstack((qp.BE, qp.BI))
+        )
+        leaf, sls = leaf_dual_qp(dual, B_full, kplus, mesh=opts.mesh)
+        if leaf.cE is not None:
+            leaf, _ = homogenize_eq(leaf)
+        pc_leaf = None
+        if opts.pc_dual == "lumped":
+            pc_leaf = lumped_pc_leaf(B_full, prob.K_blocks, sls).mv
+
+        def leaf_smalxe_opts(lq):
+            """SMALXE options with the spectral estimates precomputed on the
+            leaf QP ACTUALLY being solved (projected or not), from the
+            CONSISTENT all-ones start — so the power-method trajectory (and
+            hence M1/rho/alpha, and hence iteration counts) matches the
+            row-space solve."""
+            if lq.BE is None:
+                return opts.smalxe
+            v0 = sls.lift(jnp.ones(dual.b.shape[0], dtype=lq.b.dtype))
+            sm = opts.smalxe
+            if sm.maxeig is None and (
+                (not sm.M1_direct) or (not sm.rho_direct) or sm.inject_maxeig
+            ):
+                me = max_eigenvalue(lq.A, v0=v0, tol=sm.maxeig_tol,
+                                    maxits=sm.maxeig_iter)
+                sm = _dc.replace(sm, maxeig=me)
+            if sm.maxeig_inner is None and not sm.inject_maxeig:
+                rho0 = (jnp.asarray(sm.rho, lq.b.dtype) if sm.rho_direct
+                        else sm.rho * jnp.asarray(sm.maxeig, lq.b.dtype))
+                mi = max_eigenvalue(
+                    _Pen(a=lq.A, b=lq.BE, rho=rho0), v0=v0,
+                    tol=sm.maxeig_tol, maxits=sm.maxeig_iter,
+                )
+                sm = _dc.replace(sm, maxeig_inner=mi)
+            return sm
+
+    def _row_solution(res):
+        bt = getattr(res, "Bt_lambda", None)
+        if sls is not None:
+            return Solution(
+                x=sls.restrict(res.x),
+                Bt_lambda=sls.restrict(bt) if bt is not None else None,
+            )
+        return Solution(x=res.x, Bt_lambda=bt)
+
     if cur.BE is None:
         # no floating subdomains -> no coarse space: plain (preconditioned) CG
-        res = cg(cur, tol=tol, precond=precond)
-        sol = compose(steps)(Solution(x=res.x))
+        if use_leaf:
+            res = cg(leaf, tol=tol, precond=pc_leaf)
+        else:
+            res = cg(cur, tol=tol, precond=precond)
+        sol = compose(steps)(_row_solution(res))
     elif opts.project:
         pf_holder = cur  # QP whose pf defines the projector
         cur, post_p = enforce_eq_by_projector(cur)
         steps.append((cur, post_p))
+        if use_leaf:
+            leaf_pf = leaf.pf
+            leaf, _ = enforce_eq_by_projector(leaf)
         if cur.box is None and cur.BE is None:
-            if opts.throughput and precond is None and opts.precision == "f64":
-                # leaf-space projected CG (feti/leaf.py): the whole dual
-                # iteration in the redundant (ns, k) representation — a
-                # single static partner gather of index work per F apply
-                from .leaf import LeafDualOperator, LeafProjector, leaf_cg
-
-                op_leaf = LeafDualOperator.create(qp.BE, kplus)
-                spl = op_leaf.space
-                if opts.mesh is not None:
-                    # overlapped boundary exchange over the device mesh
-                    from ..parallel.overlap import (
-                        LeafOverlapPlan, OverlappedLeafOperator,
-                    )
-
-                    plan = LeafOverlapPlan.build(spl, opts.mesh.devices.size)
-                    op_leaf = OverlappedLeafOperator(
-                        op=op_leaf, plan=plan, mesh=opts.mesh
-                    )
-                ggt_chol = pf_holder.pf.ggt_chol
-                if ggt_chol is None:  # orthonormal rows: GG' = I
-                    ggt_chol = jnp.eye(pf_holder.BE.shape[0], dtype=qp.b.dtype)
-                P = LeafProjector.create(spl, pf_holder.BE, ggt_chol=ggt_chol)
-                res_leaf = leaf_cg(op_leaf, P(spl.lift(cur.b)), tol=tol, project=P)
-                res = res_leaf.replace(x=spl.restrict(res_leaf.x))
+            if use_leaf:
+                # leaf-space projected (optionally lumped-preconditioned) CG
+                project = leaf_pf.apply_p if pc_leaf is not None else None
+                res = cg(leaf, tol=tol, precond=pc_leaf, project=project)
             else:
                 # eq-only: projected CG (the reference picks KSP/PCPG here)
                 project = pf_holder.pf.apply_p if precond is not None else None
                 res = cg(cur, tol=tol, precond=precond, project=project)
         else:
             # box constraints survive (contact): SMALXE on the projected QP
-            res = smalxe(cur, opts=opts.smalxe, tol=tol)
-        sol = compose(steps)(Solution(x=res.x, Bt_lambda=getattr(res, "Bt_lambda", None)))
+            if use_leaf:
+                res = smalxe(leaf, opts=leaf_smalxe_opts(leaf), tol=tol)
+            else:
+                res = smalxe(cur, opts=opts.smalxe, tol=tol)
+        sol = compose(steps)(_row_solution(res))
     else:
-        res = smalxe(cur, opts=opts.smalxe, tol=tol)
-        sol = compose(steps)(Solution(x=res.x, Bt_lambda=res.Bt_lambda))
+        if use_leaf:
+            res = smalxe(leaf, opts=leaf_smalxe_opts(leaf), tol=tol)
+        else:
+            res = smalxe(cur, opts=opts.smalxe, tol=tol)
+        sol = compose(steps)(_row_solution(res))
 
     # assemble the global solution by averaging dof copies (padding skipped)
     u = np.asarray(sol.x).reshape(prob.ns, prob.nl)

@@ -32,7 +32,8 @@ def default_solver_type(qp: QP) -> str:
     return "cg"
 
 
-def make_solver(qps_type: Optional[str] = None, tol: Tolerances = Tolerances(), **kwargs):
+def make_solver(qps_type: Optional[str] = None, tol: Tolerances = Tolerances(),
+                deterministic: Optional[bool] = None, **kwargs):
     """Build a jit-compiled solver callable ``f(qp) -> result`` with the
     solver type and options closed over.
 
@@ -43,15 +44,27 @@ def make_solver(qps_type: Optional[str] = None, tol: Tolerances = Tolerances(), 
     the setup runs eagerly op-by-op.  Reuse the returned callable across
     solves with the same shapes to amortize compilation.
 
-    Caveat: trace-time flags (notably ``core.detred.set_deterministic``) are
-    baked in when the returned callable first compiles; toggling them later
-    does NOT retrace an already-cached executable.  Set the deterministic
-    mode (or any other trace-time configuration) BEFORE the first call, or
-    build a fresh solver after toggling."""
+    ``deterministic`` (True/False) scopes the fixed-binary-tree reduction
+    mode (core/detred.py) to THIS solver's trace — the per-solve switch that
+    sidesteps the trace-time-global caveat below; None inherits the global
+    mode.
+
+    Caveat: OTHER trace-time flags (notably a later
+    ``core.detred.set_deterministic`` toggle) are baked in when the returned
+    callable first compiles; toggling them later does NOT retrace an
+    already-cached executable.  Set such global configuration BEFORE the
+    first call, or build a fresh solver after toggling."""
     import jax
 
+    from ..core.detred import deterministic_mode
+
     assert qps_type != "tao", "the TAO adapter runs host-side and cannot be jitted"
-    return jax.jit(lambda qp: solve(qp, qps_type=qps_type, tol=tol, **kwargs))
+
+    def run(qp):
+        with deterministic_mode(deterministic):
+            return solve(qp, qps_type=qps_type, tol=tol, **kwargs)
+
+    return jax.jit(run)
 
 
 def solve(qp: QP, qps_type: Optional[str] = None, tol: Tolerances = Tolerances(), **kwargs):
