@@ -1,3 +1,4 @@
+from .coarse import RedundantCoarse, redundant_projector
 from .dist import make_mesh, shard_extension, shard_qp
 from .overlap import (
     LeafOverlapPlan, OverlappedLeafOperator, feti_dual_apply_hier,

@@ -70,6 +70,9 @@ class Projector:
     #: permutation (None on the dense path)
     ggt_band: Any = None
     cp_perm: Optional[jax.Array] = None
+    #: redundancy-group distributed coarse factor (parallel/coarse.py) — the
+    #: -qppf_redundancy analog; takes precedence over the local factors
+    cp_dist: Any = None
 
     @classmethod
     def create(
@@ -144,6 +147,8 @@ class Projector:
         precision iterates stay f32 through projector applications."""
         if self.orthonormal_rows:
             return v
+        if self.cp_dist is not None:
+            return self.cp_dist.mv(v)
         if self.ggt_band is not None:
             m = self.G.shape[0]
             vp = v[self.cp_perm]
