@@ -89,16 +89,15 @@ def main():
     per = _marginal_mv_time(dia.mv, x0)
     gnnzs_dia = nnz / per / 1e9
 
-    pal = dia.replace(use_pallas=True)
-    per_p = _marginal_mv_time(pal.mv, x0)
-    gnnzs_pal = nnz / per_p / 1e9
-
     print(
-        f"secondary: dia/xla {gnnzs_dia:.1f} dia/pallas {gnnzs_pal:.1f} GnnZ/s "
-        f"({per * 1e6:.1f} / {per_p * 1e6:.1f} us/mv, device={dev.device_kind})",
+        f"secondary: dia/xla {gnnzs_dia:.1f} GnnZ/s "
+        f"({per * 1e6:.1f} us/mv, device={dev.device_kind})",
         file=sys.stderr,
     )
-    gnnzs = max(gnnzs_dia, gnnzs_pal)
+    # the XLA DIA lowering measures at HBM roofline; the former Pallas DIA
+    # kernel was removed round 3 (12% slower than the lowering it replaced —
+    # decision in PARITY.md)
+    gnnzs = gnnzs_dia
 
     # unstructured SpMV: the same Laplacian RCM-reordered — row-varying
     # column offsets defeat the DIA format (ndiag explodes), exactly the
@@ -287,7 +286,6 @@ def main():
                 "vs_baseline": round(gnnzs / baseline, 3),
                 "secondary": {
                     "dia_xla_gnnzs": round(gnnzs_dia, 3),
-                    "dia_pallas_gnnzs": round(gnnzs_pal, 3),
                     "sell_unstructured_gnnzs": round(gnnzs_sell, 3),
                     **mprgp_metrics,
                     **feti,
