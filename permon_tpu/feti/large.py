@@ -284,8 +284,13 @@ def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
         cur, _ = enforce_eq_by_projector(cur)
         _, post_p = enforce_eq_by_projector(cur_a)
         steps.append((cur, post_p))
-        project = pf_holder.pf.apply_p if precond is not None else None
-        res = cg(cur, tol=tol, precond=precond, project=project)
+        # FULL reprojection — w = P r EVERY iteration, the reference's PCPG
+        # recurrence (pcpg.c:51-134).  With low-precision K+ applies the
+        # recursive residual slowly leaks out of im(P) (observed on-chip:
+        # f32 factors + the TPU's float-float f64 stall at ~4e-3 relative
+        # and then blow up); the per-iteration coarse solve (kc x kc
+        # triangular, microseconds) removes the leak unconditionally.
+        res = cg(cur, tol=tol, precond=precond, project=pf_holder.pf.apply_p)
     sol = compose(steps)(Solution(x=res.x))
     return sol, res, dual
 

@@ -39,8 +39,12 @@ class TestSparseFeti:
 
     def test_iteration_count_matches_dense_path(self, prob):
         """The projected dual pipeline is invariant to the K+ choice
-        (PARITY.md): band K+ with fixing-dof regularization must reproduce
-        the dense regularized-Cholesky path's CG iteration count."""
+        (PARITY.md): band K+ with fixing-dof regularization must track the
+        dense regularized-Cholesky path's CG iteration count.  The large
+        path runs the full-PCPG recurrence (w = P r every iteration — the
+        on-chip stability fix, see _solve_prepared), which converges one or
+        two iterations EARLIER than the project-once dense form in fp; the
+        solutions must still agree."""
         from examples.feti_ex71 import build as build71
         from permon_tpu.feti.solve import feti_solve
 
@@ -51,7 +55,9 @@ class TestSparseFeti:
         res_d = feti_solve(
             prob_d, FetiOptions(gluing="nonred"), tol=Tolerances(rtol=1e-5)
         )
-        assert int(res_s.result.iterations) == int(res_d.result.iterations)
+        it_s, it_d = int(res_s.result.iterations), int(res_d.result.iterations)
+        assert it_s <= it_d and it_d - it_s <= 2, (it_s, it_d)
+        np.testing.assert_allclose(res_s.x_global, res_d.x_global, atol=1e-4)
 
     def test_f32_factor_with_refinement(self, prob):
         res = feti_solve_sparse(
