@@ -163,39 +163,83 @@ int64_t permon_csr_to_ell(const int64_t* indptr, const int64_t* indices,
 namespace {
 
 // Greedy SELL round scheduler state (permon_tpu/core/sell.py): one round =
-// one (8,128) output tile pass against one 1024-element window of x.
-// Constraints per round: one nonzero per output slot (i,j); a single
-// consistent sublane-select S[i,c] per (sublane, lane) pair.
+// one (8,128) output tile pass against one `win`-element window of x
+// (win a multiple of 1024; the source sublane index s then spans
+// [0, win/128)).  Constraints per round: one nonzero per output slot
+// (i,j); a single consistent sublane-select S[i,c] per (sublane, lane).
 struct SellRound {
   int32_t tile, win;
-  int8_t S[1024];              // (i, c) -> sublane in window, -1 = unset
+  int16_t S[1024];             // (i, c) -> sublane in window, -1 = unset
   std::bitset<1024> used;      // (i, j) slot occupancy
 };
 
 // Run the greedy assignment; fills per-nnz round ids and the round list.
 void sell_greedy(const int64_t* indptr, const int64_t* indices, int64_t m,
-                 int64_t ntiles, std::vector<int32_t>& assign,
+                 int64_t ntiles, int64_t win, std::vector<int32_t>& assign,
                  std::vector<SellRound>& rounds) {
   assign.assign(indptr[m], -1);
   rounds.clear();
+  std::vector<std::pair<int64_t, int64_t>> order;  // (col - row, p) per tile
   for (int64_t t = 0; t < ntiles; ++t) {
     size_t tile_first = rounds.size();
     std::unordered_map<int64_t, std::vector<int32_t>> per_w;
     int64_t g_lo = t * 1024, g_hi = std::min(m, (t + 1) * 1024);
-    for (int64_t g = g_lo; g < g_hi; ++g) {
-      int64_t rloc = g - g_lo;
-      int i = (int)(rloc / 128), j = (int)(rloc % 128);
-      for (int64_t p = indptr[g]; p < indptr[g + 1]; ++p) {
+    // visit nonzeros DIAGONAL-major: all nnz of one offset within a row
+    // group have distinct lanes and a single consistent sublane, so they
+    // pack into one round with no S conflicts — row-major order interleaves
+    // offsets and manufactures conflicts (measured: eff 0.60 -> near the
+    // structural bound on the RCM Laplacian)
+    order.clear();
+    for (int64_t g = g_lo; g < g_hi; ++g)
+      for (int64_t p = indptr[g]; p < indptr[g + 1]; ++p)
+        order.emplace_back(indices[p] - g, p);
+    std::sort(order.begin(), order.end());
+    // windows are 1024-aligned but NOT win-aligned: a greedy interval
+    // cover of this tile's column blocks places each window where a band
+    // cluster actually sits, so a cluster never straddles a window edge
+    // (lifts the structural efficiency bound from 0.70 to 0.84 at
+    // win = 2048 on the RCM 3-D Laplacian)
+    std::vector<int64_t> wstarts;  // window start block ids (1024-elements)
+    {
+      std::vector<int64_t> blocks;
+      for (int64_t p = indptr[g_lo]; p < indptr[g_hi]; ++p)
+        blocks.push_back(indices[p] >> 10);
+      std::sort(blocks.begin(), blocks.end());
+      blocks.erase(std::unique(blocks.begin(), blocks.end()), blocks.end());
+      int64_t nb = win >> 10, cov_end = -1;
+      for (int64_t b : blocks)
+        if (b > cov_end) { wstarts.push_back(b); cov_end = b + nb - 1; }
+    }
+    for (auto& op_ : order) {
+      int64_t p = op_.second;
+      // recover the row of nonzero p by binary search over indptr
+      int64_t lo = g_lo, hi = g_hi;
+      while (lo + 1 < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (indptr[mid] <= p) lo = mid; else hi = mid;
+      }
+      int64_t g = lo;
+      {
+        int64_t rloc = g - g_lo;
+        int i = (int)(rloc / 128), j = (int)(rloc % 128);
         int64_t col = indices[p];
-        int64_t w = col / 1024;
-        int s = (int)((col % 1024) / 128), c = (int)(col % 128);
+        // window = the cover interval containing col's block
+        int64_t w = *(std::upper_bound(wstarts.begin(), wstarts.end(),
+                                       col >> 10) - 1);
+        int s = (int)((col - (w << 10)) / 128), c = (int)(col % 128);
         int32_t rid = -1;
+        // best-fit: an exact S[i,c] == s match first (free), else a round
+        // with the (i,c) pair unset (burns a fresh slot other nonzeros may
+        // have needed) — first-fit alone loses ~3% slot efficiency
+        int32_t fresh = -1;
         for (int32_t cand : per_w[w]) {
           SellRound& R = rounds[cand];
           if (R.used[i * 128 + j]) continue;
-          int8_t cur = R.S[i * 128 + c];
-          if (cur == -1 || cur == (int8_t)s) { rid = cand; break; }
+          int16_t cur = R.S[i * 128 + c];
+          if (cur == (int16_t)s) { rid = cand; break; }
+          if (cur == -1 && fresh < 0) fresh = cand;
         }
+        if (rid < 0) rid = fresh;
         if (rid < 0) {
           rid = (int32_t)rounds.size();
           rounds.emplace_back();
@@ -206,7 +250,7 @@ void sell_greedy(const int64_t* indptr, const int64_t* indices, int64_t m,
           per_w[w].push_back(rid);
         }
         SellRound& R = rounds[rid];
-        R.S[i * 128 + c] = (int8_t)s;
+        R.S[i * 128 + c] = (int16_t)s;
         R.used[i * 128 + j] = true;
         assign[p] = rid;
       }
@@ -225,23 +269,24 @@ void sell_greedy(const int64_t* indptr, const int64_t* indices, int64_t m,
 
 extern "C" {
 
-// SELL round schedule (permon_tpu/core/sell.py). Call with null outputs to
-// query the round count nr, then with buffers wstart (nr), tid (nr),
-// S/C (nr,8,128) int32, V (nr,8,128) double.
+// SELL round schedule (permon_tpu/core/sell.py). `win` = window element
+// count (multiple of 1024). Call with null outputs to query the round
+// count nr, then with buffers wstart (nr), tid (nr), S/C (nr,8,128) int32,
+// V (nr,8,128) double.
 int64_t permon_sell_schedule(const int64_t* indptr, const int64_t* indices,
                              const double* data, int64_t m, int64_t ntiles,
-                             int32_t* wstart, int32_t* tid, int32_t* S,
-                             int32_t* C, double* V) {
+                             int64_t win, int32_t* wstart, int32_t* tid,
+                             int32_t* S, int32_t* C, double* V) {
   std::vector<int32_t> assign;
   std::vector<SellRound> rounds;
-  sell_greedy(indptr, indices, m, ntiles, assign, rounds);
+  sell_greedy(indptr, indices, m, ntiles, win, assign, rounds);
   int64_t nr = (int64_t)rounds.size();
   if (!wstart) return nr;
   for (int64_t r = 0; r < nr; ++r) {
-    wstart[r] = rounds[r].win * 8;
+    wstart[r] = (int32_t)(rounds[r].win * 8);  // start block -> x2d row
     tid[r] = rounds[r].tile;
     for (int64_t q = 0; q < 1024; ++q) {
-      int8_t s = rounds[r].S[q];
+      int16_t s = rounds[r].S[q];
       S[r * 1024 + q] = s < 0 ? 0 : (int32_t)s;
       C[r * 1024 + q] = 0;
       V[r * 1024 + q] = 0.0;

@@ -12,32 +12,36 @@ scalar-unit loop (~7 ns/element, measured ~0.14 GnnZ/s) — but Mosaic exposes
 the VPU's *in-register* shuffles: ``jnp.take_along_axis`` on two equal-shape
 (8, 128) tiles lowers to one ``tpu.dynamic_gather`` along sublanes (axis 0,
 index < 8) or lanes (axis 1, index < 128).  SELL restructures the matvec so
-that ALL indexing is done with these two instructions:
+that ALL indexing is done with these instructions:
 
 - y is processed in tiles of 1024 rows, viewed as an (8, 128) register
   block: row r of the tile sits at (r // 128, r % 128);
-- x is viewed as (R, 128); an aligned 8-row slice of it — a 1024-element
-  *window* — is the addressable unit;
+- x is viewed as (R, 128); an aligned ``win``-element slice of it — a
+  (win/128, 128) *window* — is the addressable unit (win a power-of-two
+  multiple of 1024, chosen per matrix at setup);
 - the nonzeros of each row tile are scheduled at setup time into *rounds*.
-  One round reads one window and processes <= 1024 nonzeros with
+  One round reads one window and processes <= 1024 nonzeros: for a nonzero
+  of row (i, j) targeting window element (s, c) the scheduler sets
+  S[i, c] = s and C[i, j] = c, and the kernel computes
 
-      P = take_along_axis(window, S, axis=0)   # sublane select
-      G = take_along_axis(P,      C, axis=1)   # lane select
-      acc += V * G
+      P = select-tree of take_along_axis over the window's (8,128) blocks
+      G = take_along_axis(P, C, axis=1)     # lane select
+      acc += V * G.
 
-  where for a nonzero of row (i, j) targeting window element (s, c) the
-  scheduler sets C[i, j] = c and S[i, c] = s, so G[i, j] = window[s, c].
   Constraints per round (resolved by the greedy scheduler with extra
   rounds): one nonzero per output slot (i, j), and a single consistent
   S[i, c] per (sublane, lane) pair.
 
-The Pallas kernel streams the per-round (S, C, V) blocks from HBM (12 bytes
-per slot) while x stays whole in VMEM, and revisits each output tile for its
-consecutive rounds — HBM traffic is ~12 B/slot, so throughput is
-(slot efficiency) * (HBM roofline / 12 B) ~ tens of GnnZ/s for FEM-like
-matrices, vs ~0.14 for the gather path.  The XLA path computes the identical
-round algebra with plain gathers (correct everywhere, slow on TPU) and is
-the f64 / CPU fallback.
+Slot efficiency (nnz / (rounds * 1024)) is what sets the throughput: the
+kernel streams 6 bytes per slot from HBM — S and C packed into ONE int16
+(code = s * 128 + c) plus an f32 value — so the HBM-bound rate is
+eff * BW / 6 B.  Wider windows raise eff directly (fewer (tile, window)
+pairs for the same nonzeros: on the RCM-ordered 3-D Laplacian the
+structural bound is 0.55 / 0.70 / 0.82 at win = 1024 / 2048 / 4096) at the
+cost of (win/1024) sublane-gathers per round; ``win='auto'`` schedules the
+candidates and picks the best predicted rate.  The XLA path computes the
+identical round algebra with plain gathers (correct everywhere, slow on
+TPU) and is the f64 / CPU fallback.
 """
 
 from __future__ import annotations
@@ -53,41 +57,59 @@ from flax import struct
 from .linop import LinearOperator
 
 TILE = 1024  # rows per output tile = one (8, 128) register block
-WIN = 1024  # window size = one (8, 128) slice of x
+WIN_CANDIDATES = (1024, 2048, 4096)
 
 
-def _schedule(a, report: Optional[dict] = None):
+def _schedule(a, win: int = 1024, report: Optional[dict] = None):
     """Greedy round scheduler (host, setup time).
 
     Returns (wstart, tid, S, C, V) with shapes (nr,), (nr,), (nr, 8, 128) x2,
     (nr, 8, 128); rounds sorted by output tile so the kernel's revisit
     pattern is consecutive.  Every tile gets at least one round (so every
-    output block is written)."""
+    output block is written).  ``win`` = window element count."""
     import scipy.sparse as sp
 
     a = a.tocsr()
     m, n = a.shape
     ntiles = max((m + TILE - 1) // TILE, 1)
+    wr = win // 128
     indptr, indices, data = a.indptr, a.indices, a.data
 
     from ..utils.native import sell_schedule_native
 
-    packed = sell_schedule_native(indptr, indices, data, m, ntiles)
+    packed = sell_schedule_native(indptr, indices, data, m, ntiles, win=win)
     if packed is not None:
         wstart, tid, S, C, V = packed
     else:
-        # python reference scheduler
+        # python reference scheduler.  Nonzeros are visited DIAGONAL-major
+        # within each tile (sorted by col - row): one offset's entries in a
+        # row group have distinct lanes and one consistent sublane, so they
+        # pack into a round without S conflicts (same order as the native
+        # scheduler).
         rounds: list = []  # (t, w, S(8,128), C, V, used(8,128))
         per_tw: dict = {}
         tiles_seen = set()
-        for g in range(m):
-            t, rloc = divmod(g, TILE)
-            i, j = divmod(rloc, 128)
+        row_of = np.repeat(np.arange(m), np.diff(indptr))
+        for t in range((m + TILE - 1) // TILE):
             tiles_seen.add(t)
-            for p in range(indptr[g], indptr[g + 1]):
+            p_lo, p_hi = indptr[t * TILE], indptr[min((t + 1) * TILE, m)]
+            ps = np.arange(p_lo, p_hi)
+            ps = ps[np.argsort(indices[ps] - row_of[ps], kind="stable")]
+            # 1024-aligned (not win-aligned) greedy interval cover of this
+            # tile's column blocks — same placement as the native scheduler
+            wstarts = []
+            cov_end = -1
+            for b in np.unique(indices[p_lo:p_hi] >> 10):
+                if b > cov_end:
+                    wstarts.append(int(b))
+                    cov_end = int(b) + (win >> 10) - 1
+            wstarts = np.asarray(wstarts, dtype=np.int64)
+            for p in ps:
+                g = int(row_of[p])
+                i, j = divmod(g - t * TILE, 128)
                 col = int(indices[p])
-                w, srem = divmod(col, WIN)
-                s, c = divmod(srem, 128)
+                w = int(wstarts[np.searchsorted(wstarts, col >> 10, side="right") - 1])
+                s, c = divmod(col - (w << 10), 128)
                 placed = False
                 for rid in per_tw.get((t, w), ()):
                     S_, C_, V_, used = rounds[rid][2:]
@@ -121,6 +143,7 @@ def _schedule(a, report: Optional[dict] = None):
                 )
         rounds.sort(key=lambda r: r[0])
         nr = len(rounds)
+        # r[1] is the window's start BLOCK id (1024 elements = 8 x2d rows)
         wstart = np.array([r[1] * 8 for r in rounds], np.int32)
         tid = np.array([r[0] for r in rounds], np.int32)
         S = np.stack([np.maximum(r[2], 0) for r in rounds])
@@ -139,7 +162,17 @@ def _schedule(a, report: Optional[dict] = None):
         report["rounds"] = int(nr)
         report["slots"] = int(nr) * TILE
         report["efficiency"] = a.nnz / max(int(nr) * TILE, 1)
+        report["win"] = int(win)
     return wstart, tid, S, C, V
+
+
+def _predicted_rate(nnz: int, nr: int, win: int) -> float:
+    """Relative throughput model for the auto window choice: per-round cost
+    is the max of the 6 KB HBM stream and the VPU gather tree (2 vreg ops
+    per (8,128) window block + ~6 fixed ops), in arbitrary units."""
+    vpu = 2 * (win // 1024) + 6
+    hbm = 8.0  # 6 KB/round at the measured ~580 GB/s in the same units
+    return nnz / (nr * max(vpu, hbm))
 
 
 @struct.dataclass
@@ -151,12 +184,12 @@ class SEll(LinearOperator):
 
     wstart: jax.Array  # (nr,) i32 — x-window start row (multiple of 8)
     tid: jax.Array  # (nr,) i32 — output tile of each round (nondecreasing)
-    S: jax.Array  # (nr, 8, 128) i32 — sublane-select table, lane-indexed
-    C: jax.Array  # (nr, 8, 128) i32 — lane select, slot-indexed
+    SC: jax.Array  # (nr*8, 128) i16 — packed s*128 + c, slot/lane-indexed
     V: jax.Array  # (nr, 8, 128) — values, slot-indexed
     shape: Tuple[int, int] = struct.field(pytree_node=False)
     x_rows: int = struct.field(pytree_node=False)  # padded rows of x2d
     ntiles: int = struct.field(pytree_node=False)
+    win: int = struct.field(pytree_node=False, default=1024)
     use_pallas: bool = struct.field(pytree_node=False, default=True)
     t_plan: Optional["SEll"] = None  # transpose plan for rmv
     symmetric: bool = struct.field(pytree_node=False, default=False)
@@ -169,25 +202,46 @@ class SEll(LinearOperator):
         use_pallas: bool = True,
         with_transpose: bool = False,
         symmetric: bool = False,
+        win="auto",
         report: Optional[dict] = None,
     ) -> "SEll":
+        """``win``: window element count (multiple of 1024) or 'auto' — try
+        WIN_CANDIDATES and keep the best predicted rate (wider windows pack
+        more nonzeros per round but cost more in-register selects)."""
         import scipy.sparse as sp
 
         a = a.tocsr()
         m, n = a.shape
-        wstart, tid, S, C, V = _schedule(a, report=report)
+        if win == "auto":
+            best = None
+            for cand in WIN_CANDIDATES:
+                rep_c: dict = {}
+                sched = _schedule(a, win=cand, report=rep_c)
+                rate = _predicted_rate(a.nnz, max(rep_c["rounds"], 1), cand)
+                if best is None or rate > best[0]:
+                    best = (rate, cand, sched, rep_c)
+            _, win, (wstart, tid, S, C, V), rep_c = best
+            if report is not None:
+                report.update(rep_c)
+        else:
+            win = int(win)
+            wstart, tid, S, C, V = _schedule(a, win=win, report=report)
+        nr = len(tid)
+        SC = (S.astype(np.int32) * 128 + C.astype(np.int32)).astype(np.int16)
         ntiles = max((m + TILE - 1) // TILE, 1)
-        x_rows = int(max(wstart.max() + 8 if len(wstart) else 8, (n + 127) // 128))
+        wr = win // 128
+        x_rows = int(max(wstart.max() + wr if len(wstart) else wr,
+                         (n + 127) // 128))
         t_plan = None
         if with_transpose and not symmetric:
-            t_plan = cls.from_scipy(a.T.tocsr(), use_pallas=use_pallas)
+            t_plan = cls.from_scipy(a.T.tocsr(), use_pallas=use_pallas, win="auto")
         return cls(
             wstart=jnp.asarray(wstart), tid=jnp.asarray(tid),
-            S=jnp.asarray(S), C=jnp.asarray(C),
+            SC=jnp.asarray(SC.reshape(nr * 8, 128)),
             V=jnp.asarray(V.astype(a.dtype)),
             shape=(int(m), int(n)), x_rows=x_rows, ntiles=ntiles,
-            use_pallas=use_pallas, t_plan=t_plan, symmetric=symmetric,
-            nnz=int(a.nnz),
+            win=int(win), use_pallas=use_pallas, t_plan=t_plan,
+            symmetric=symmetric, nnz=int(a.nnz),
         )
 
     def _x2d(self, x):
@@ -197,13 +251,13 @@ class SEll(LinearOperator):
     def mv(self, x):
         if self.use_pallas and x.dtype == jnp.float32:
             y = _sell_mv_pallas(
-                self.wstart, self.tid, self.S, self.C, self.V.astype(x.dtype),
-                self._x2d(x), self.ntiles,
+                self.wstart, self.tid, self.SC, self.V.astype(x.dtype),
+                self._x2d(x), self.ntiles, self.win // 128,
             )
         else:
             y = _sell_mv_xla(
-                self.wstart, self.tid, self.S, self.C, self.V.astype(x.dtype),
-                self._x2d(x), self.ntiles,
+                self.wstart, self.tid, self.SC, self.V.astype(x.dtype),
+                self._x2d(x), self.ntiles, self.win // 128,
             )
         return y[: self.m]
 
@@ -222,10 +276,19 @@ class SEll(LinearOperator):
         return jax.vmap(self.mv, in_axes=1, out_axes=1)(eye)
 
 
-def _sell_mv_xla(wstart, tid, S, C, V, x2d, ntiles):
+def _unpack_sc(SC, nr):
+    """(nr*8, 128) i16 packed codes -> i32 (nr, 8, 128) S (sublane) and C
+    (lane)."""
+    code = SC.astype(jnp.int32).reshape(nr, 8, 128)
+    return code >> 7, code & 127
+
+
+def _sell_mv_xla(wstart, tid, SC, V, x2d, ntiles, wr):
     """Round algebra with plain XLA gathers — the everywhere-correct path."""
+    nr = V.shape[0]
+    S, C = _unpack_sc(SC, nr)
     windows = jax.vmap(
-        lambda ws: jax.lax.dynamic_slice(x2d, (ws, jnp.zeros((), ws.dtype)), (8, 128))
+        lambda ws: jax.lax.dynamic_slice(x2d, (ws, jnp.zeros((), ws.dtype)), (wr, 128))
     )(wstart)
     P = jnp.take_along_axis(windows, S, axis=1)
     G = jnp.take_along_axis(P, C, axis=2)
@@ -237,21 +300,24 @@ def _sell_mv_xla(wstart, tid, S, C, V, x2d, ntiles):
 #: rounds per grid step — amortizes the per-step pipeline overhead (~200 ns,
 #: which dominated a one-round-per-step kernel at ~6 vreg-ops of real work
 #: per round); the scheduler pads the global round count to a multiple
-RB = 32
+RB = 64
 
 
-@partial(jax.jit, static_argnames=("ntiles", "interpret"))
-def _sell_mv_pallas(wstart, tid, S, C, V, x2d, ntiles, interpret: bool = False):
+@partial(jax.jit, static_argnames=("ntiles", "wr", "interpret"))
+def _sell_mv_pallas(wstart, tid, SC, V, x2d, ntiles, wr, interpret: bool = False):
     """RB rounds per grid step; x2d and the whole output live in VMEM (the
     output is written at a dynamic row offset per round, so rounds need no
-    tile ordering); (S, C, V) blocks stream from HBM double-buffered."""
+    tile ordering); the packed (SC, V) blocks — 6 B/slot — stream from HBM
+    double-buffered.  The window is (wr, 128); the sublane select runs as a
+    select-tree of (8,128) dynamic_gathers over its wr/8 blocks."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nr = S.shape[0]
+    nr = V.shape[0]
     assert nr % RB == 0, "scheduler must pad rounds to a multiple of RB"
+    nblk = wr // 8
 
-    def kernel(ws_ref, tid_ref, S_ref, C_ref, V_ref, x_ref, o_ref):
+    def kernel(ws_ref, tid_ref, sc_ref, V_ref, x_ref, o_ref):
         r = pl.program_id(0)
 
         @pl.when(r == 0)
@@ -260,9 +326,19 @@ def _sell_mv_pallas(wstart, tid, S, C, V, x2d, ntiles, interpret: bool = False):
 
         for q in range(RB):
             k = r * RB + q
-            win = x_ref[pl.ds(pl.multiple_of(ws_ref[k], 8), 8), :]
-            P = jnp.take_along_axis(win, S_ref[q], axis=0)
-            G = jnp.take_along_axis(P, C_ref[q], axis=1)
+            W = x_ref[pl.ds(pl.multiple_of(ws_ref[k], 8), wr), :]
+            code = sc_ref[pl.ds(q * 8, 8), :].astype(jnp.int32)
+            S = code >> 7
+            C = code & 127
+            # select-tree: gather each (8,128) window block with the SAME
+            # in-block index S & 7 (one AND, reused), pick by block id
+            Sb = S & 7
+            blk_id = S >> 3
+            P = jnp.take_along_axis(W[0:8], Sb, axis=0)
+            for b in range(1, nblk):
+                Pb = jnp.take_along_axis(W[8 * b : 8 * (b + 1)], Sb, axis=0)
+                P = jnp.where(blk_id == b, Pb, P)
+            G = jnp.take_along_axis(P, C, axis=1)
             t8 = pl.multiple_of(tid_ref[k] * 8, 8)
             o_ref[pl.ds(t8, 8), :] = o_ref[pl.ds(t8, 8), :] + V_ref[q] * G
 
@@ -270,9 +346,7 @@ def _sell_mv_pallas(wstart, tid, S, C, V, x2d, ntiles, interpret: bool = False):
         num_scalar_prefetch=2,
         grid=(nr // RB,),
         in_specs=[
-            pl.BlockSpec((RB, 8, 128), lambda r, ws, tid: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 8, 128), lambda r, ws, tid: (r, 0, 0),
+            pl.BlockSpec((RB * 8, 128), lambda r, ws, tid: (r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, 8, 128), lambda r, ws, tid: (r, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -286,5 +360,5 @@ def _sell_mv_pallas(wstart, tid, S, C, V, x2d, ntiles, interpret: bool = False):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ntiles * 8, 128), x2d.dtype),
             interpret=interpret,
-        )(wstart, tid, S, C, V, x2d)
+        )(wstart, tid, SC, V, x2d)
     return y.reshape(-1)

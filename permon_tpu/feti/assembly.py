@@ -222,7 +222,13 @@ def eliminate_dirichlet_in_blocks(prob: FetiProblem):
     Returns modified (K_blocks, b_loc) and the per-subdomain Dirichlet masks."""
     K = prob.K_blocks.copy()
     b = prob.b_loc.copy()
-    copies = _dof_copies(prob.l2g)
+    # copies restricted to the Dirichlet dofs (vectorized — the full
+    # _dof_copies dict is O(ns*nl) python-loop host time at scale)
+    dglob = prob.dirichlet_global()
+    ss, ii = np.nonzero(np.isin(prob.l2g, dglob))
+    copies: dict = {}
+    for s, i in zip(ss, ii):
+        copies.setdefault(int(prob.l2g[s, i]), []).append((int(s), int(i)))
     dvals = (
         prob.dirichlet_values
         if prob.dirichlet_values is not None

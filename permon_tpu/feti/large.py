@@ -245,7 +245,7 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
 
 
 def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
-                    kplus_post=None):
+                    kplus_post=None, pf=None):
     """One dual solve of an assembled large-path QP: dualize (band K+) ->
     [homogenize] -> project -> CG, folded back to the decomposed solution.
 
@@ -258,7 +258,7 @@ def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
     self-correcting to its tolerance); the accurate applies are paid a
     handful of times, not per iteration."""
     steps = []  # (child, post) pairs of the ACCURATE chain
-    dual, post_d = dualize(qp, kplus=kplus, coarse=opts.coarse)
+    dual, post_d = dualize(qp, kplus=kplus, coarse=opts.coarse, pf=pf)
     if kplus_post is not None:
         dual_a, post_d = dualize(qp, kplus=kplus_post, coarse=opts.coarse,
                                  pf=dual.pf)
@@ -333,8 +333,6 @@ def feti_solve_sparse(
 def _feti_solve_sparse_body(
     prob, opts, tol, NB, kplus_dtype, kplus_refine, op_dtype, primal_refine
 ) -> FetiResult:
-    import scipy.sparse as sp
-
     qp, kplus, NB = assemble_qp_sparse(
         prob, opts, NB=NB, kplus_dtype=kplus_dtype, kplus_refine=kplus_refine,
         op_dtype=op_dtype,
@@ -346,8 +344,21 @@ def _feti_solve_sparse_body(
     if kplus.refine and kplus.op is not None:
         kplus_post = kplus
         kplus = kplus.replace(refine=0)
+    return _run_prepared_sparse(
+        prob, opts, tol, qp, kplus, kplus_post, primal_refine, pf=None
+    )
+
+
+def _run_prepared_sparse(
+    prob, opts, tol, qp, kplus, kplus_post, primal_refine, pf=None
+) -> FetiResult:
+    """One (or 1 + primal_refine) dual solves of an already-assembled and
+    factorized large-path problem; ``pf`` reuses a coarse GG' factorization
+    from an earlier solve (the QPReusedCP path at scale)."""
+    import scipy.sparse as sp
+
     sol, res, dual = _solve_prepared(qp, kplus, opts, tol,
-                                     kplus_post=kplus_post)
+                                     kplus_post=kplus_post, pf=pf)
 
     from .solve import assemble_global_mean
 
@@ -386,7 +397,8 @@ def _feti_solve_sparse_body(
             cE_r = qp.cE - qp.BE.mv(jnp.asarray(u_pad.reshape(-1)))
             qp_r = qp_r.replace(cE=cE_r)
         sol_r, res, dual = _solve_prepared(qp_r, kplus, opts, tol,
-                                           kplus_post=kplus_post)
+                                           kplus_post=kplus_post,
+                                           pf=dual.pf)
         du = np.asarray(sol_r.x).reshape(prob.ns, nlp)
         x_global = x_global + assemble_global_mean(
             du[:, : prob.nl], prob.l2g, prob.n_global
@@ -396,3 +408,54 @@ def _feti_solve_sparse_body(
         x_global=x_global, u_decomposed=sol.x, solution=sol, result=res,
         qp=qp, dual_qp=dual,
     )
+
+
+class FetiSolverSparse:
+    """Reusable large-path TFETI solver — the QPTFetiPrepareReuseCP analog
+    at scale (qptransform.c:1213-1251): assembly, the band K+ factorization
+    and the coarse GG' factorization happen ONCE; repeated solves with new
+    right-hand sides (time stepping, contact outer loops) reuse every
+    factor and every cached executable.
+
+    >>> solver = FetiSolverSparse(prob, opts, kplus_dtype=jnp.float32,
+    ...                           kplus_refine=2, primal_refine=1)
+    >>> r1 = solver.solve()             # factorizes once
+    >>> r2 = solver.solve(b_loc=new_b)  # marginal cost: the dual CG only
+    """
+
+    def __init__(self, prob: SparseFetiProblem,
+                 opts: FetiOptions = FetiOptions(), NB: Optional[int] = None,
+                 kplus_dtype=None, kplus_refine: int = 0, op_dtype=None,
+                 primal_refine: int = 0):
+        self.prob = prob
+        self.opts = opts
+        self.primal_refine = primal_refine
+        self.qp, kplus, self.NB = assemble_qp_sparse(
+            prob, opts, NB=NB, kplus_dtype=kplus_dtype,
+            kplus_refine=kplus_refine, op_dtype=op_dtype,
+        )
+        self.kplus_post = None
+        if kplus.refine and kplus.op is not None:
+            self.kplus_post = kplus
+            kplus = kplus.replace(refine=0)
+        self.kplus = kplus
+        self._pf = None
+
+    def solve(self, b_loc=None, tol: Tolerances = Tolerances()) -> FetiResult:
+        from ..core.detred import deterministic_mode
+
+        prob, qp = self.prob, self.qp
+        if b_loc is not None:
+            prob = dataclasses.replace(prob, b_loc=np.asarray(b_loc))
+            nlp = qp.BE.nl
+            b_pad = np.zeros((prob.ns, nlp))
+            b_pad[:, : prob.nl] = prob.b_loc
+            qp = qp.replace(b=jnp.asarray(b_pad.reshape(-1)))
+        with deterministic_mode(self.opts.deterministic):
+            res = _run_prepared_sparse(
+                prob, self.opts, tol, qp, self.kplus, self.kplus_post,
+                self.primal_refine, pf=self._pf,
+            )
+        if self._pf is None and res.dual_qp is not None:
+            self._pf = res.dual_qp.pf
+        return res

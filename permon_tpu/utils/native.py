@@ -82,7 +82,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if hasattr(lib, "permon_sell_schedule"):
         lib.permon_sell_schedule.restype = ctypes.c_int64
         lib.permon_sell_schedule.argtypes = [
-            i64p, i64p, f64p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             i32p, i32p, i32p, i32p, f64p,
         ]
     _lib = lib
@@ -166,9 +166,11 @@ def csr_to_ell_native(a):
     return cols, vals
 
 
-def sell_schedule_native(indptr, indices, data, m: int, ntiles: int):
+def sell_schedule_native(indptr, indices, data, m: int, ntiles: int,
+                         win: int = 1024):
     """Native SELL round scheduler (core/sell.py setup); returns
-    (wstart, tid, S, C, V) or None if the library is unavailable."""
+    (wstart, tid, S, C, V) or None if the library is unavailable.
+    ``win`` = source-window element count (multiple of 1024)."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "permon_sell_schedule"):
         return None
@@ -177,7 +179,8 @@ def sell_schedule_native(indptr, indices, data, m: int, ntiles: int):
     data = np.ascontiguousarray(data, dtype=np.float64)
     nr = int(lib.permon_sell_schedule(
         _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
-        _ptr(data, ctypes.c_double), m, ntiles, None, None, None, None, None,
+        _ptr(data, ctypes.c_double), m, ntiles, win,
+        None, None, None, None, None,
     ))
     wstart = np.empty(nr, dtype=np.int32)
     tid = np.empty(nr, dtype=np.int32)
@@ -186,7 +189,7 @@ def sell_schedule_native(indptr, indices, data, m: int, ntiles: int):
     V = np.empty((nr, 8, 128), dtype=np.float64)
     lib.permon_sell_schedule(
         _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
-        _ptr(data, ctypes.c_double), m, ntiles,
+        _ptr(data, ctypes.c_double), m, ntiles, win,
         _ptr(wstart, ctypes.c_int32), _ptr(tid, ctypes.c_int32),
         _ptr(S, ctypes.c_int32), _ptr(C, ctypes.c_int32),
         _ptr(V, ctypes.c_double),

@@ -1,0 +1,93 @@
+"""One-shot capture of the 1M-DOF TFETI north star on the real chip.
+
+Runs the 101^3 (1,030,301 dofs, 64 subdomains of <= 27^3) configuration of
+examples/feti_large.py with staged timing (host assembly, device
+factorization, dual solve, full solve with f64 defect correction) and
+writes the result JSON to scripts/northstar.json for bench.py / PARITY.md.
+Usage: python scripts/northstar.py [ncells] [grid]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(ncells=100, g=4):
+    import jax
+    import jax.numpy as jnp
+
+    from examples.feti_large import assembled_system, build_sparse
+    from permon_tpu.core.convergence import Tolerances
+    from permon_tpu.feti.solve import FetiOptions
+
+    out = {"ncells": ncells, "grid": g}
+    t0 = time.time()
+    prob = build_sparse((ncells,) * 3, (g,) * 3)
+    out["dofs"] = int(prob.n_global)
+    out["ns"] = int(prob.ns)
+    out["nl_max"] = int(prob.nl)
+    t1 = time.time()
+    out["host_assembly_s"] = round(t1 - t0, 1)
+    print(f"assembled {out['dofs']} dofs, {prob.ns} subdomains "
+          f"({out['host_assembly_s']} s host)", flush=True)
+
+    from permon_tpu.feti.large import FetiSolverSparse
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "northstar.json")
+
+    def dump():
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
+    t1 = time.time()
+    solver = FetiSolverSparse(
+        prob, FetiOptions(gluing="nonred"),
+        kplus_dtype=jnp.float32, kplus_refine=2, primal_refine=1,
+    )
+    res = solver.solve(tol=Tolerances(rtol=1e-5))
+    t2 = time.time()
+    r = res.result
+    out["its"] = int(r.iterations)
+    out["reason"] = int(r.reason)
+    out["rnorm"] = float(r.rnorm)
+    out["total_solve_s"] = round(t2 - t1, 1)
+    print(f"dual CG: {out['its']} its, reason {out['reason']}, "
+          f"rnorm {out['rnorm']:.3e} ({out['total_solve_s']} s incl. "
+          "factorization + compiles)", flush=True)
+    x1 = res.x_global.copy()
+    del res  # free the solution chain before the re-solve
+    dump()
+
+    # second solve through the SAME solver (band factor, coarse GG' factor
+    # and every jitted executable reused — the time-stepping mode): this is
+    # the marginal production solve time
+    t3 = time.time()
+    res2 = solver.solve(b_loc=prob.b_loc * 1.001, tol=Tolerances(rtol=1e-5))
+    t4 = time.time()
+    out["resolve_s"] = round(t4 - t3, 1)
+    out["its2"] = int(res2.result.iterations)
+    print(f"re-solve (reused factors + cached executables): "
+          f"{out['resolve_s']} s, {out['its2']} its", flush=True)
+    del res2
+    dump()
+
+    if out["dofs"] <= 1.2e6:
+        A, b = assembled_system((ncells,) * 3)
+        resid = float(np.linalg.norm(A @ x1 - b) / np.linalg.norm(b))
+        out["assembled_residual"] = resid
+        print(f"||Ax-b||/||b|| = {resid:.3e}", flush=True)
+    dump()
+    print("wrote", path, flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    nc = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    g = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    main(nc, g)

@@ -121,3 +121,53 @@ class TestSparseFeti:
         assert NB % 128 == 0
         assert qp.BE.nl % NB == 0
         assert kplus.shape[1] == qp.BE.ns * qp.BE.nl
+
+
+class TestNorthStarShape:
+    """CI-sized twin of the 1M-dof north star (101^3, 64 subdomains of
+    <= 27^3 — scripts/northstar.py, captured on-chip in round 3: 44 dual CG
+    iterations, reason 2, f32 factors + 2-step refinement + one f64 primal
+    defect correction): the SAME 4x4x4 decomposition and precision recipe at
+    20^3 cells, with the iteration count pinned."""
+
+    def test_64_subdomain_f32_pipeline_pinned(self):
+        import jax.numpy as jnp
+
+        from examples.feti_large import assembled_system, build_sparse
+
+        prob = build_sparse((20,) * 3, (4,) * 3)
+        assert prob.ns == 64 and prob.n_global == 9261
+        res = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred"), tol=Tolerances(rtol=1e-5),
+            kplus_dtype=jnp.float32, kplus_refine=2, primal_refine=1,
+        )
+        assert int(res.result.reason) == 2
+        assert int(res.result.iterations) == 23
+        A, b = assembled_system((20,) * 3)
+        resid = np.linalg.norm(A @ res.x_global - b) / np.linalg.norm(b)
+        assert resid < 1e-8, resid
+
+
+class TestFetiSolverSparse:
+    def test_reuse_matches_fresh_solve(self):
+        from permon_tpu.feti.large import FetiSolverSparse
+
+        prob = build_sparse(CELLS, GRID)
+        solver = FetiSolverSparse(
+            prob, FetiOptions(gluing="nonred"),
+            kplus_dtype=jnp.float32, kplus_refine=2, primal_refine=1,
+        )
+        r1 = solver.solve(tol=Tolerances(rtol=1e-6))
+        assert solver._pf is not None  # coarse factor captured for reuse
+        b2 = prob.b_loc * 1.5
+        r2 = solver.solve(b_loc=b2, tol=Tolerances(rtol=1e-6))
+        import dataclasses
+
+        ref = feti_solve_sparse(
+            dataclasses.replace(prob, b_loc=b2),
+            FetiOptions(gluing="nonred"), tol=Tolerances(rtol=1e-6),
+            kplus_dtype=jnp.float32, kplus_refine=2, primal_refine=1,
+        )
+        # linearity sanity + reuse correctness
+        np.testing.assert_allclose(r2.x_global, ref.x_global, atol=1e-7)
+        np.testing.assert_allclose(r2.x_global, 1.5 * r1.x_global, atol=1e-6)

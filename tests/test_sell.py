@@ -37,14 +37,32 @@ class TestSEll:
 
     def test_pallas_interpret_matches_scipy(self):
         a = _permuted_laplacian_2d(40)
-        op = SEll.from_scipy(a)
-        x = np.random.RandomState(2).rand(1600).astype(np.float32)
-        y = _sell_mv_pallas(
-            op.wstart, op.tid, op.S, op.C, op.V.astype(jnp.float32),
-            op._x2d(jnp.asarray(x)), op.ntiles, interpret=True,
-        )[: a.shape[0]]
-        ref = (a @ x).astype(np.float32)
-        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+        for win in (1024, 2048, 4096):
+            op = SEll.from_scipy(a, win=win)
+            x = np.random.RandomState(2).rand(1600).astype(np.float32)
+            y = _sell_mv_pallas(
+                op.wstart, op.tid, op.SC, op.V.astype(jnp.float32),
+                op._x2d(jnp.asarray(x)), op.ntiles, op.win // 128,
+                interpret=True,
+            )[: a.shape[0]]
+            ref = (a @ x).astype(np.float32)
+            np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+    def test_wider_windows_raise_slot_efficiency(self):
+        a = _permuted_laplacian_2d(40)
+        effs = {}
+        for win in (1024, 4096):
+            rep = {}
+            SEll.from_scipy(a, win=win, report=rep)
+            effs[win] = rep["efficiency"]
+        assert effs[4096] >= effs[1024]
+
+    def test_auto_window_reports_choice(self):
+        a = _permuted_laplacian_2d(40)
+        rep = {}
+        op = SEll.from_scipy(a, win="auto", report=rep)
+        assert rep["win"] == op.win and op.win in (1024, 2048, 4096)
+        _check(a, op)
 
     def test_rectangular_with_transpose(self):
         b = sp.random(300, 1600, density=0.01, random_state=np.random.RandomState(3)).tocsr()
