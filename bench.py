@@ -115,7 +115,8 @@ def main():
     gnnzs_sell = nnz / per_s / 1e9
     print(
         f"secondary: sell/unstructured {gnnzs_sell:.1f} GnnZ/s "
-        f"({per_s * 1e6:.1f} us/mv, slot efficiency {rep['efficiency']:.2f})",
+        f"({per_s * 1e6:.1f} us/mv, slot efficiency {rep['efficiency']:.2f}, "
+        f"win {rep['win']})",
         file=sys.stderr,
     )
 
@@ -276,6 +277,100 @@ def main():
         feti["feti_error"] = f"{type(e).__name__}: {e}"
         print(f"secondary: feti bench skipped ({type(e).__name__}: {e})", file=sys.stderr)
 
+    # TFETI contact (SMALBE) — row-space vs scaled-leaf dual iteration
+    # (feti/leafqp.py): identical iteration counts, the leaf path replaces
+    # per-nnz gathers with batched einsums.  Setup (assembly, dualize,
+    # projector, spectral estimates) runs on CPU; the whole SMALXE solve is
+    # ONE jitted TPU executable, data-chained + marginal.
+    try:
+        from examples.feti_contact import build as build_contact
+        from permon_tpu.feti import FetiOptions
+        from permon_tpu.feti.solve import prepare_contact_children
+        from permon_tpu.solvers.smalxe import smalxe
+
+        cpu = jax.devices("cpu")[0]
+        prob_c, BI_c, cI_c, _lb = build_contact(ns=16, ne=64)
+        for thr, key in ((False, "contact_row_ms"), (True, "contact_leaf_ms")):
+            with jax.default_device(cpu):
+                qp_c, sm_c, _sls = prepare_contact_children(
+                    prob_c, FetiOptions(gluing="nonred", throughput=thr),
+                    BI_c, cI_c,
+                )
+            qp_c = jax.device_put(qp_c, dev)
+
+            @jax.jit
+            def solve_c(b):
+                r = smalxe(qp_c.replace(b=b), opts=sm_c)
+                return r.x, r.iterations
+
+            x_w, its = solve_c(qp_c.b)  # compile + warm
+            its = int(its)
+
+            def run_c(nrep):
+                _BENCH_SALT[0] += 1
+                cur_b = qp_c.b * (1.0 + 1e-9 * _BENCH_SALT[0])
+                t0 = time.perf_counter()
+                for _ in range(nrep):
+                    x_, _ = solve_c(cur_b)
+                    cur_b = cur_b + 1e-14 * x_  # data-chained
+                _ = float(jnp.sum(cur_b))
+                return time.perf_counter() - t0
+
+            t_lo = min(run_c(1), run_c(1))
+            t_hi = min(run_c(3), run_c(3))
+            feti[key] = round(max((t_hi - t_lo) / 2, 1e-12) * 1e3, 2)
+            feti[key.replace("_ms", "_its")] = its
+            print(
+                f"secondary: {key} {feti[key]:.1f} ms ({its} MPRGP its, "
+                "one executable, chained, marginal)",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        feti["contact_error"] = f"{type(e).__name__}: {e}"
+        print(f"secondary: contact bench skipped ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    # the 1M-dof TFETI north star (101^3, 64 subdomains of 26^3 on ONE
+    # chip: f32 band factors + refinement + one f64 primal defect
+    # correction).  PERMON_BENCH_LARGE=1 reruns it live (7-40 min depending
+    # on tunnel weather); by default the committed on-chip capture from
+    # scripts/northstar.py (same chip, this round) is reported, so the
+    # headline bench stays within its budget.
+    import os as _os
+
+    ns_path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "scripts", "northstar.json")
+    if _os.environ.get("PERMON_BENCH_LARGE", "0") == "1" or not _os.path.exists(ns_path):
+        try:
+            import subprocess as _sp
+
+            _sp.run(
+                [sys.executable, "-u",
+                 _os.path.join("scripts", "northstar.py"), "100", "4"],
+                check=True, timeout=3000,
+                cwd=_os.path.dirname(_os.path.abspath(__file__)),
+            )
+        except Exception as e:
+            print(f"secondary: live feti_large run failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+    try:
+        with open(ns_path) as f:
+            ns = json.load(f)
+        feti["feti_large_dofs"] = ns["dofs"]
+        feti["feti_large_its"] = ns["its"]
+        feti["feti_large_first_solve_s"] = ns["total_solve_s"]
+        if "resolve_s" in ns:
+            feti["feti_large_resolve_s"] = ns["resolve_s"]
+        if "assembled_residual" in ns:
+            feti["feti_large_residual"] = ns["assembled_residual"]
+        print(f"secondary: feti_large {ns['dofs']} dofs {ns['its']} its "
+              f"first {ns['total_solve_s']} s resolve {ns.get('resolve_s')} s "
+              f"resid {ns.get('assembled_residual')}", file=sys.stderr)
+    except Exception as e:
+        feti["feti_large_error"] = f"{type(e).__name__}: {e}"
+        print(f"secondary: feti_large skipped ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
     baseline = 5.0  # GnnZ/s/chip north-star from BASELINE.json
     print(
         json.dumps(
@@ -287,6 +382,8 @@ def main():
                 "secondary": {
                     "dia_xla_gnnzs": round(gnnzs_dia, 3),
                     "sell_unstructured_gnnzs": round(gnnzs_sell, 3),
+                    "sell_slot_efficiency": round(rep["efficiency"], 3),
+                    "sell_win": rep["win"],
                     **mprgp_metrics,
                     **feti,
                 },

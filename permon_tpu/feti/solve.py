@@ -509,3 +509,58 @@ def _feti_solve_body(
         x_global=x_global, u_decomposed=sol.x, solution=sol, result=res,
         qp=qp, dual_qp=dual,
     )
+
+
+def prepare_contact_children(prob, opts, BI, cI, kplus=None):
+    """Build the QP the contact pipeline hands to SMALXE — the projected
+    dual child with surviving box constraints — in row space, and (when
+    ``opts.throughput``) its scaled-leaf twin with row-matched spectral
+    estimates.  Returns ``(qp_solve, smalxe_opts, sls)`` with ``sls`` None
+    on the row path; ``smalxe(qp_solve, opts=smalxe_opts)`` then reproduces
+    the iteration _feti_solve_impl runs (asserted in tests/test_leafqp.py).
+    Intended for benchmarking / advanced embedding: the construction is
+    host-side, the returned QP is a pure pytree that can be device_put and
+    solved as ONE jitted executable."""
+    import dataclasses as _dc
+
+    qp, K_blocks, fixed_mask, null_bases = assemble_qp(prob, opts)
+    qp = qp.replace(BI=BI, cI=None if cI is None else jnp.asarray(cI))
+    if kplus is None:
+        kplus = make_blockdiag_kplus(
+            K_blocks, fixed_mask, prob, null_bases, explicit=opts.throughput,
+            rho_mode=opts.resolved_rho_mode(prob.ns),
+        )
+    dual, _ = dualize(qp, kplus=kplus, coarse=opts.coarse)
+    cur = dual
+    if cur.cE is not None:
+        cur, _ = homogenize_eq(cur)
+    cur, _ = enforce_eq_by_projector(cur)
+    if not opts.throughput:
+        return cur, opts.smalxe, None
+
+    from ..core.eig import max_eigenvalue
+    from ..core.linop import Penalized as _Pen
+    from .leafqp import leaf_dual_qp
+
+    B_full = qp.BE if qp.BI is None else SubdomainExtension.vstack(
+        (qp.BE, qp.BI)
+    )
+    leaf, sls = leaf_dual_qp(dual, B_full, kplus)
+    if leaf.cE is not None:
+        leaf, _ = homogenize_eq(leaf)
+    leaf, _ = enforce_eq_by_projector(leaf)
+    sm = opts.smalxe
+    if leaf.BE is not None:
+        v0 = sls.lift(jnp.ones(dual.b.shape[0], dtype=leaf.b.dtype))
+        if sm.maxeig is None and (
+            (not sm.M1_direct) or (not sm.rho_direct) or sm.inject_maxeig
+        ):
+            sm = _dc.replace(sm, maxeig=max_eigenvalue(
+                leaf.A, v0=v0, tol=sm.maxeig_tol, maxits=sm.maxeig_iter))
+        if sm.maxeig_inner is None and not sm.inject_maxeig:
+            rho0 = (jnp.asarray(sm.rho, leaf.b.dtype) if sm.rho_direct
+                    else sm.rho * jnp.asarray(sm.maxeig, leaf.b.dtype))
+            sm = _dc.replace(sm, maxeig_inner=max_eigenvalue(
+                _Pen(a=leaf.A, b=leaf.BE, rho=rho0), v0=v0,
+                tol=sm.maxeig_tol, maxits=sm.maxeig_iter))
+    return leaf, sm, sls
