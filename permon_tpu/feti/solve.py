@@ -98,6 +98,12 @@ class FetiOptions:
     #: scope the flag to THIS solve's trace (the per-solve switch the
     #: global set_deterministic cannot provide)
     deterministic: Optional[bool] = None
+    #: with a two-axis ('host', 'sd') mesh: run the dual coarse solve on
+    #: redundancy groups — the GG' Cholesky factor sharded over the
+    #: within-group axis, one distributed copy per host group
+    #: (parallel/coarse.py; -dual_qppf_redundancy, qppf.c:182-183).
+    #: Results match the replicated factor to roundoff.
+    qppf_redundancy: bool = False
 
     def resolved_rho_mode(self, ns: int) -> str:
         if self.rho_mode != "auto":
@@ -363,6 +369,22 @@ def _feti_solve_body(
 
     steps = []
     dual, post_d = dualize(qp, kplus=kplus, coarse=opts.coarse)
+    if (
+        opts.qppf_redundancy
+        and dual.BE is not None
+        and opts.mesh is not None
+        and len(opts.mesh.axis_names) == 2
+    ):
+        # redundancy-group coarse solve (-dual_qppf_redundancy): replace the
+        # replicated GG' factor by the group-distributed one; every
+        # projector/post-solve application goes through it
+        from ..parallel.coarse import redundant_projector
+        from ..qp.projector import dense_rows
+
+        Gd = np.asarray(dense_rows(dual.BE))
+        dual = dual.replace(
+            pf=redundant_projector(dual.BE, Gd @ Gd.T, opts.mesh)
+        )
     steps.append((dual, post_d))
     cur = dual
     if opts.precision == "mixed":

@@ -142,6 +142,11 @@ def feti_options_from_options(opts: Options):
         nullspace=str(opts.get("feti_nullspace", fo.nullspace)),
         throughput=bool(opts.get("feti_throughput", fo.throughput)),
         precision=str(opts.get("feti_precision", fo.precision)),
+        # -dual_qppf_redundancy N: the reference distributes the coarse
+        # factor over N subcommunicator groups; here any nonzero value
+        # selects the host-group distributed factor on the two-axis mesh
+        # (parallel/coarse.py)
+        qppf_redundancy=bool(int(opts.get("dual_qppf_redundancy", 0))),
     )
 
 

@@ -76,3 +76,29 @@ def test_under_jit():
     got = np.asarray(jax.jit(cp.mv)(v))
     np.testing.assert_allclose(got, np.linalg.solve(S, np.asarray(v)),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_feti_solve_with_redundancy_option():
+    """End-to-end: FetiOptions(qppf_redundancy=True, mesh=(2,4)) runs the
+    dual coarse solve on redundancy groups and reproduces the default
+    (replicated-factor) iteration count and solution — the
+    -dual_qppf_redundancy 2 variant of feti/ex1 (ex1.c TEST block)."""
+    from examples.feti_ex1 import build
+    from permon_tpu.feti import FetiOptions
+    from permon_tpu.feti.solve import feti_solve
+
+    prob = build(ns=8, ne=6)
+    r_ref = feti_solve(prob, FetiOptions())
+    mesh = make_mesh2((2, 4))
+    r_red = feti_solve(prob, FetiOptions(qppf_redundancy=True, mesh=mesh))
+    assert int(r_red.result.iterations) == int(r_ref.result.iterations)
+    np.testing.assert_allclose(r_red.x_global, r_ref.x_global, atol=1e-10)
+
+
+def test_options_key_maps_redundancy():
+    from permon_tpu.sys.options import Options, feti_options_from_options
+
+    fo = feti_options_from_options(
+        Options.from_args(["-dual_qppf_redundancy", "2"], rc=False)
+    )
+    assert fo.qppf_redundancy
