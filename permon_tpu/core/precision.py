@@ -172,7 +172,14 @@ class CastTo(LinearOperator):
 
 def reducers(dots_dtype):
     """(vdot, norm) honoring an optional promotion dtype for reductions.
-    Composes with the deterministic fixed-tree mode (core/detred)."""
+
+    Promoted reductions ALWAYS run as the fixed binary tree of elementwise
+    adds (core/detred.det_dot): on TPU, f64 is float-float emulated and XLA
+    lowers an f64 ``reduce`` SEQUENTIALLY (the FF compensation is order-
+    dependent), measured 138 us for a 10k dot where the parallel
+    elementwise tree takes 1.9 us — 72x.  The tree is also deterministic by
+    construction, so 'mixed' solves are bit-stable across device counts for
+    free."""
     from . import detred
 
     if dots_dtype is None:
@@ -180,9 +187,9 @@ def reducers(dots_dtype):
     dd = jnp.dtype(dots_dtype)
 
     def vdot(x, y):
-        return detred.vdot(x.astype(dd), y.astype(dd))
+        return detred.det_dot(x.astype(dd), y.astype(dd))
 
     def norm(x):
-        return detred.norm(x.astype(dd))
+        return detred.det_norm(x.astype(dd))
 
     return vdot, norm

@@ -5,4 +5,5 @@ from .assembly import (
     constant_nullspace_columns,
     rigid_body_modes,
 )
+from .large import FetiSolverSparse, SparseFetiProblem, feti_solve_sparse
 from .solve import FetiOptions, FetiResult, FetiSolver, assemble_qp, feti_solve
