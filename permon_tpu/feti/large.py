@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -277,8 +278,16 @@ def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
 
         precond = PCDual.create(qp.BE, qp.A, "lumped").mv
 
+    # the dual CG runs as ONE jitted executable with the QP (and its
+    # multi-GB K+ factor arrays) passed as ARGUMENTS: a closed-over device
+    # array is lowered as a CONSTANT baked into the executable — at the
+    # 1M-dof scale that ships ~7 GB through every while_loop compile (and
+    # the tunnel), observed as 400-2200 s "factorization" times.
     if cur.BE is None:
-        res = cg(cur, tol=tol, precond=precond)
+        if precond is None:
+            res = jax.jit(lambda q: cg(q, tol=tol))(cur)
+        else:
+            res = cg(cur, tol=tol, precond=precond)
     else:
         pf_holder = cur
         cur, _ = enforce_eq_by_projector(cur)
@@ -290,7 +299,13 @@ def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
         # f32 factors + the TPU's float-float f64 stall at ~4e-3 relative
         # and then blow up); the per-iteration coarse solve (kc x kc
         # triangular, microseconds) removes the leak unconditionally.
-        res = cg(cur, tol=tol, precond=precond, project=pf_holder.pf.apply_p)
+        if precond is None:
+            res = jax.jit(
+                lambda q, pf: cg(q, tol=tol, project=pf.apply_p)
+            )(cur, pf_holder.pf)
+        else:
+            res = cg(cur, tol=tol, precond=precond,
+                     project=pf_holder.pf.apply_p)
     sol = compose(steps)(Solution(x=res.x))
     return sol, res, dual
 
