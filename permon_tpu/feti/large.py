@@ -364,6 +364,26 @@ def _feti_solve_sparse_body(
     )
 
 
+def _primal_defect_rhs(prob, K_csr, x_global, nlp):
+    """f64 host residual of the assembled system in decomposed, D-split,
+    padded form: r_loc[s] = b_loc[s] - K_s (x_global at s's dofs); the
+    copy-sum equals b_global - A_global x_global for a conforming
+    decomposition, and the multiplicity re-split removes the O(B'lam)
+    interface components that cancel only in the copy-sum."""
+    from .assembly import decompose_rhs_by_multiplicity
+
+    pad = np.asarray(prob.l2g < 0)
+    u_lift = np.where(pad, 0.0, x_global[np.maximum(prob.l2g, 0)])
+    r_loc = prob.b_loc - np.stack(
+        [K_csr[s] @ u_lift[s] for s in range(prob.ns)]
+    )
+    r_loc[pad] = 0.0
+    r_loc = decompose_rhs_by_multiplicity(r_loc, prob.l2g)
+    r_pad = np.zeros((prob.ns, nlp))
+    r_pad[:, : prob.nl] = r_loc
+    return r_pad.reshape(-1), u_lift
+
+
 def _run_prepared_sparse(
     prob, opts, tol, qp, kplus, kplus_post, primal_refine, pf=None
 ) -> FetiResult:
@@ -384,25 +404,8 @@ def _run_prepared_sparse(
     if primal_refine:
         K_csr = [sp.csr_matrix(K) for K in prob.K_blocks]
     for _ in range(primal_refine):
-        # f64 host residual of the assembled system, in decomposed form:
-        # r_loc[s] = b_loc[s] - K_s (x_global at s's dofs); its copy-sum is
-        # exactly b_global - A_global x_global for a conforming decomposition
-        pad = np.asarray(prob.l2g < 0)
-        u_lift = np.where(pad, 0.0, x_global[np.maximum(prob.l2g, 0)])
-        r_loc = prob.b_loc - np.stack(
-            [K_csr[s] @ u_lift[s] for s in range(prob.ns)]
-        )
-        r_loc[pad] = 0.0
-        # re-split by multiplicity: the raw per-copy defect carries O(B'lam)
-        # interface components that cancel only in the copy-sum — solving
-        # against them makes the correction's relative tolerance meaningless
-        # (the same D-split QPTMatISToBlockDiag applies to the original rhs)
-        from .assembly import decompose_rhs_by_multiplicity
-
-        r_loc = decompose_rhs_by_multiplicity(r_loc, prob.l2g)
-        r_pad = np.zeros((prob.ns, nlp))
-        r_pad[:, : prob.nl] = r_loc
-        qp_r = qp.replace(b=jnp.asarray(r_pad.reshape(-1)))
+        r_flat, u_lift = _primal_defect_rhs(prob, K_csr, x_global, nlp)
+        qp_r = qp.replace(b=jnp.asarray(r_flat))
         if qp.cE is not None:
             # the correction must close the remaining constraint gap too:
             # BE dx = cE - BE u  (u = consistent lift, so gluing rows of
@@ -455,9 +458,12 @@ class FetiSolverSparse:
             kplus = kplus.replace(refine=0)
         self.kplus = kplus
         self._pf = None
+        self._fast_cache: dict = {}
+        self._K_csr = None
 
     def solve(self, b_loc=None, tol: Tolerances = Tolerances()) -> FetiResult:
         from ..core.detred import deterministic_mode
+        from ..sys import tracing
 
         prob, qp = self.prob, self.qp
         if b_loc is not None:
@@ -466,7 +472,15 @@ class FetiSolverSparse:
             b_pad = np.zeros((prob.ns, nlp))
             b_pad[:, : prob.nl] = prob.b_loc
             qp = qp.replace(b=jnp.asarray(b_pad.reshape(-1)))
+        use_fast = (
+            self._pf is not None
+            and qp.cE is None
+            and self.opts.pc_dual == "none"
+            and not tracing.debug_enabled
+        )
         with deterministic_mode(self.opts.deterministic):
+            if use_fast:
+                return self._solve_fast(prob, qp, tol)
             res = _run_prepared_sparse(
                 prob, self.opts, tol, qp, self.kplus, self.kplus_post,
                 self.primal_refine, pf=self._pf,
@@ -474,3 +488,61 @@ class FetiSolverSparse:
         if self._pf is None and res.dual_qp is not None:
             self._pf = res.dual_qp.pf
         return res
+
+    # -- repeated-solve fast path -----------------------------------------
+    def _fast_fn(self, tol: Tolerances):
+        """One jitted executable for the ENTIRE dual solve + post chain
+        (dualize with the reused pf skips all host work): the eager
+        transform chain costs one dispatch round-trip per op — over the
+        axon tunnel that dominates a 1M-dof re-solve — while this is one
+        dispatch total.  Only small outputs cross the jit boundary (the
+        decomposed solution and the CG counters), never the factor
+        arrays."""
+        key = (tol.rtol, tol.atol, tol.divtol, tol.max_it)
+        fn = self._fast_cache.get(key)
+        if fn is None:
+            opts = self.opts
+
+            def run(qp, kplus, kplus_post, pf, b):
+                sol, res, _ = _solve_prepared(
+                    qp.replace(b=b), kplus, opts, tol,
+                    kplus_post=kplus_post, pf=pf,
+                )
+                return sol.x, res.iterations, res.reason, res.rnorm
+
+            fn = jax.jit(run)
+            self._fast_cache[key] = fn
+        return fn
+
+    def _solve_fast(self, prob, qp, tol: Tolerances) -> FetiResult:
+        import scipy.sparse as sp
+
+        from ..solvers.cg import CGResult
+        from .solve import assemble_global_mean
+
+        nlp = qp.BE.nl
+        fn = self._fast_fn(tol)
+        x_dec, its, reason, rnorm = fn(
+            qp, self.kplus, self.kplus_post, self._pf, qp.b
+        )
+        u = np.asarray(x_dec).reshape(prob.ns, nlp)
+        x_global = assemble_global_mean(u[:, : prob.nl], prob.l2g,
+                                        prob.n_global)
+        if self.primal_refine and self._K_csr is None:
+            self._K_csr = [sp.csr_matrix(K) for K in prob.K_blocks]
+        for _ in range(self.primal_refine):
+            r_flat, _ = _primal_defect_rhs(prob, self._K_csr, x_global, nlp)
+            dx, its, reason, rnorm = fn(
+                qp, self.kplus, self.kplus_post, self._pf,
+                jnp.asarray(r_flat),
+            )
+            du = np.asarray(dx).reshape(prob.ns, nlp)
+            x_global = x_global + assemble_global_mean(
+                du[:, : prob.nl], prob.l2g, prob.n_global
+            )
+        res = CGResult(x=x_dec, reason=reason, iterations=its, rnorm=rnorm,
+                       nmv=its + 1)
+        return FetiResult(
+            x_global=x_global, u_decomposed=x_dec,
+            solution=Solution(x=x_dec), result=res, qp=qp, dual_qp=None,
+        )

@@ -169,7 +169,13 @@ def dualize(
     G = None
     e = None
     gram = None
-    if qp.R is not None and qp.R.shape[1] > 0:
+    if pf is not None and qp.R is not None and qp.R.shape[1] > 0:
+        # reused coarse projector: its G IS the dual equality operator —
+        # skip the (host-side) G/GG' construction entirely, so a repeated
+        # dualize with pf is pure traced ops (jittable end to end)
+        G = pf.G
+        e = qp.R.rmv(b)
+    elif qp.R is not None and qp.R.shape[1] > 0:
         k_null = qp.R.shape[1]
         want_sparse = coarse == "sparse" or (
             coarse == "auto"
