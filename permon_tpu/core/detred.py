@@ -78,6 +78,20 @@ def det_dot(x, y):
     return det_sum((jnp.conj(x) * y).reshape(-1))
 
 
+def det_dots(pairs):
+    """Tuple of <x_i, y_i> for a list of (x, y) pairs, computed as ONE
+    batched fixed tree: the products are stacked (k, n) and reduced along n
+    together, so a k-dot bundle costs the same number of sequential stages
+    as one dot.  Each row's summation order is IDENTICAL to ``det_dot`` of
+    that pair alone — results are bit-for-bit equal to separate calls
+    (asserted in tests/test_detred.py), fusing is purely a kernel-count
+    optimization for the promoted-dot hot loops (core/precision.reducers).
+    All pairs must share one flattened length and dtype."""
+    prods = jnp.stack([(jnp.conj(x) * y).reshape(-1) for x, y in pairs])
+    out = det_sum(prods, axis=-1)
+    return tuple(out[i] for i in range(len(pairs)))
+
+
 def det_norm(x):
     return jnp.sqrt(det_dot(x, x).real)
 

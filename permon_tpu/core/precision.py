@@ -193,3 +193,29 @@ def reducers(dots_dtype):
         return detred.det_norm(x.astype(dd))
 
     return vdot, norm
+
+
+def dot_bundler(dots_dtype):
+    """``vdots(pairs) -> tuple of dots`` for fusing same-point reductions.
+
+    Under a promotion dtype the bundle runs as ONE batched fixed tree
+    (detred.det_dots) — bit-identical per pair to separate promoted dots,
+    but k dots cost one kernel chain instead of k (the promoted-dot kernel
+    count is what separates 'mixed' from 'f32' loop time on TPU).  Without
+    promotion it falls back to separate :func:`reducers` dots so the f64
+    oracle numerics are untouched."""
+    from . import detred
+
+    if dots_dtype is None:
+        def vdots(pairs):
+            if detred.enabled():
+                return detred.det_dots(pairs)
+            return tuple(jnp.vdot(x, y) for x, y in pairs)
+
+        return vdots
+    dd = jnp.dtype(dots_dtype)
+
+    def vdots(pairs):
+        return detred.det_dots([(x.astype(dd), y.astype(dd)) for x, y in pairs])
+
+    return vdots

@@ -139,10 +139,16 @@ def mprgp(
     ``history`` > 0 records that many per-iteration ||gP|| values in a
     fixed-size device buffer surfaced as ``result.rnorm_history``.
     """
-    from ..core.precision import reducers
+    from ..core import detred
+    from ..core.precision import dot_bundler, reducers
 
     A, b = qp.A, qp.b
     vdot, vnorm = reducers(qp.dots_dtype)  # f64-promoted dots under 'mixed'
+    vdots = dot_bundler(qp.dots_dtype)  # fused same-point dot bundles
+    # fuse the body's three reductions only when the bundle actually batches
+    # (promoted or deterministic trees, bit-identical per row); the plain-f64
+    # path keeps jnp.linalg.norm so oracle numerics are untouched
+    fuse_body = qp.dots_dtype is not None or detred.enabled()
     if qp.box is None:
         # unbounded box: the algorithm degenerates to plain CG (no chopped
         # gradient, infinite feasible steps) — used by SMALXE for
@@ -210,19 +216,19 @@ def mprgp(
             return alpha, nmv
         if lt == "opt":
             ad = A.mv(d)
-            dots0, dots1 = vdot(d, g), vdot(d, ad)
+            dots0, dots1 = vdots([(d, g), (d, ad)])
             bad = dots1 == 0.0
             new = jnp.where(bad & opts.resetalpha, alpha / maxeig_val, alpha_user * dots0 / dots1)
             return new.astype(alpha.dtype), nmv + 1
         if lt == "optapprox":
             if explv_key == "g":
                 return jnp.asarray(alpha_user / maxeig_val, alpha.dtype), nmv
-            dots0, dots1 = vdot(d, g), vdot(d, d)
+            dots0, dots1 = vdots([(d, g), (d, d)])
             return (alpha_user * dots0 / dots1 / maxeig_val).astype(alpha.dtype), nmv
         # bb: differences across the half-step within this expansion
         v0 = d - dold
         v1 = x - xold
-        dots0, dots1 = vdot(v0, v0), vdot(v0, v1)
+        dots0, dots1 = vdots([(v0, v0), (v0, v1)])
         bad = dots1 == 0.0
         new = jnp.where(bad & opts.resetalpha, alpha / maxeig_val, alpha_user * dots0 / dots1)
         return new.astype(alpha.dtype), nmv
@@ -324,8 +330,8 @@ def mprgp(
 
     def proportional_branch(st):
         Ap = A.mv(st.p)
-        pAp = vdot(st.p, Ap)
-        acg = vdot(st.g, st.p) / pAp
+        pAp, gTp = vdots([(st.p, Ap), (st.g, st.p)])
+        acg = gTp / pAp
         afeas = box.feas(st.x, st.p)
         st = st.replace(nmv=st.nmv + 1)
         return jax.lax.cond(
@@ -338,8 +344,8 @@ def mprgp(
     def proportioning_branch(st):
         p = st.gc
         Ap = A.mv(p)
-        pAp = vdot(p, Ap)
-        acg = (vdot(st.g, p) / pAp).astype(st.x.dtype)
+        pAp, gTp = vdots([(p, Ap), (st.g, p)])
+        acg = (gTp / pAp).astype(st.x.dtype)
         x = st.x - acg * p
         g = st.g - acg * Ap
         gf, gc, gr = _grads_all(box, x, g, st.alpha)
@@ -352,9 +358,18 @@ def mprgp(
 
     def body(st):
         gP = st.gf + st.gc
-        rnorm = vnorm(gP)
-        gcTgc = vdot(st.gc, st.gc)
-        gfTgf = vdot(st.gf, st.gf)
+        if fuse_body:
+            # one batched tree for the three same-point reductions (||gP||^2,
+            # gc'gc, gf'gf) — each row's summation order identical to the
+            # separate calls, so counts/oracles cannot shift
+            gPgP, gcTgc, gfTgf = vdots(
+                [(gP, gP), (st.gc, st.gc), (st.gf, st.gf)]
+            )
+            rnorm = jnp.sqrt(gPgP.real)
+        else:
+            rnorm = vnorm(gP)
+            gcTgc = vdot(st.gc, st.gc)
+            gfTgf = vdot(st.gf, st.gf)
         st = st.replace(rnorm=rnorm)
         if nh:
             st = st.replace(hist=st.hist.at[jnp.minimum(st.it, nh - 1)].set(rnorm))

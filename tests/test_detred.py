@@ -17,6 +17,18 @@ class TestFixedTree:
             np.asarray(detred.det_sum(x)), np.asarray(x).sum(axis=-1), rtol=1e-13
         )
 
+    def test_det_dots_bitwise_equals_det_dot(self):
+        """The fused bundle must be BIT-identical per pair to separate
+        det_dot calls (same per-row summation order) — this is what lets
+        the solvers fuse their promoted dots without shifting any pinned
+        iteration-count oracle."""
+        rng = np.random.default_rng(5)
+        x, y, z = (jnp.asarray(rng.standard_normal(1037)) for _ in range(3))
+        fused = detred.det_dots([(x, y), (y, z), (z, z)])
+        sep = (detred.det_dot(x, y), detred.det_dot(y, z), detred.det_dot(z, z))
+        for f, s in zip(fused, sep):
+            assert float(f) == float(s)
+
     def test_det_gram_matches_gram(self):
         rng = np.random.default_rng(4)
         G = jnp.asarray(rng.standard_normal((6, 301)))
