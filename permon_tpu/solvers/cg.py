@@ -48,10 +48,15 @@ def cg(
     ``history`` > 0 records that many per-iteration residual norms in a
     fixed-size device buffer surfaced as ``result.rnorm_history``.
     """
-    from ..core.precision import reducers
+    from ..core.precision import dot_bundler, reducers
 
     A, b = qp.A, qp.b
     vdot, vnorm = reducers(qp.dots_dtype)  # f64-promoted dots under 'mixed'
+    vdots = dot_bundler(qp.dots_dtype)
+    # fuse (w'y, w'w) into one batched tree when the bundle actually batches
+    # (promoted or deterministic reductions — bit-identical per row); the
+    # plain-f64 path keeps its original separate reductions untouched
+    fuse = qp.dots_dtype is not None or detred.enabled()
     x0 = qp.initial_vector()
 
     norm_rhs = vnorm(b)
@@ -61,8 +66,8 @@ def cg(
     nh = int(history)
 
     def body(carry):
-        x, r, w, z, p, wz, it, reason, nmv, hist = carry
-        rnorm = vnorm(w)
+        x, r, w, z, p, wz, rn2, it, reason, nmv, hist = carry
+        rnorm = jnp.sqrt(rn2.real) if fuse else vnorm(w)
         if nh:
             hist = hist.at[jnp.minimum(it, nh - 1)].set(rnorm)
         if monitor:
@@ -88,15 +93,19 @@ def cg(
             w2 = P(r2)
             z2 = M(w2)
             y2 = P(z2) if precond is not None else z2
-            wz2 = vdot(w2, y2)
+            if fuse:
+                wz2, rn2_2 = vdots([(w2, y2), (w2, w2)])
+            else:
+                wz2, rn2_2 = vdot(w2, y2), rn2
             beta = jnp.where(broke, 0.0, wz2 / wz).astype(x.dtype)
             p2 = y2 + beta * p
             reason2 = jnp.where(broke, jnp.int32(3), reason)
-            return x2, r2, w2, z2, p2, wz2, it + 1, reason2, nmv + 1, hist
+            return (x2, r2, w2, z2, p2, wz2, rn2_2, it + 1, reason2,
+                    nmv + 1, hist)
 
         return jax.lax.cond(
             reason == 0, step,
-            lambda _: (x, r, w, z, p, wz, it, reason, nmv, hist), None,
+            lambda _: (x, r, w, z, p, wz, rn2, it, reason, nmv, hist), None,
         )
 
     r0 = b - A.mv(x0)
@@ -105,10 +114,14 @@ def cg(
     y0 = P(z0) if precond is not None else z0
     rdtype = jnp.dtype(qp.dots_dtype) if qp.dots_dtype else b.dtype
     hist0 = jnp.full((max(nh, 1),), jnp.nan, dtype=rdtype)
-    carry0 = (x0, r0, w0, z0, y0, vdot(w0, y0), jnp.int32(0),
+    if fuse:
+        wz0, rn20 = vdots([(w0, y0), (w0, w0)])
+    else:
+        wz0, rn20 = vdot(w0, y0), jnp.zeros((), rdtype)
+    carry0 = (x0, r0, w0, z0, y0, wz0, rn20, jnp.int32(0),
               jnp.int32(0), jnp.int32(1), hist0)
-    out = jax.lax.while_loop(lambda c: c[7] == 0, body, carry0)
-    x, _, w, _, _, _, it, reason, nmv, hist = out
+    out = jax.lax.while_loop(lambda c: c[8] == 0, body, carry0)
+    x, _, w, _, _, _, _, it, reason, nmv, hist = out
     return CGResult(x=x, reason=reason, iterations=it, rnorm=vnorm(w),
                     nmv=nmv, rnorm_history=hist if nh else None)
 
