@@ -232,10 +232,16 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
     Ad_sm = np.stack(Ads, axis=1)  # scan-major (nb, ns, NB, NB), host
     Asub_sm = np.stack(Asubs, axis=1)
     del Ads, Asubs
-    A = BlockDia.from_scipy_blocks(Kregs, nlp=nlp, dtype=op_dtype)
+    # two stencil operators: K+ refinement residuals need the REGULARIZED
+    # blocks (the factors solve Kreg), but the QP's Hessian — and therefore
+    # the lumped dual preconditioner M = B K B' (pc/dual.py) — must be the
+    # ORIGINAL singular K: the rho-sized fixing-dof term would dominate M at
+    # the fixing dofs and wreck the preconditioned iteration
+    Areg = BlockDia.from_scipy_blocks(Kregs, nlp=nlp, dtype=op_dtype)
+    A = BlockDia.from_scipy_blocks(K_blocks, nlp=nlp, dtype=op_dtype)
     kplus = BandCholInv.from_block_tridiag(
         Ad_sm, Asub_sm, dtype=kplus_dtype, refine=kplus_refine,
-        op=A, scan_major=True,
+        op=Areg, scan_major=True,
     )
     b = jnp.asarray(b_loc.reshape(-1))
     # an all-zero cE carries no information: drop it so the pipeline skips
@@ -272,11 +278,11 @@ def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
         cur_a, post_h = homogenize_eq(cur_a)
         steps.append((cur_a, post_h))
 
-    precond = None
+    pc_op = None
     if opts.pc_dual == "lumped":
         from ..pc.dual import PCDual
 
-        precond = PCDual.create(qp.BE, qp.A, "lumped").mv
+        pc_op = PCDual.create(qp.BE, qp.A, "lumped")
 
     # the dual CG runs as ONE jitted executable with the QP (and its
     # multi-GB K+ factor arrays) passed as ARGUMENTS: a closed-over device
@@ -284,10 +290,12 @@ def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
     # 1M-dof scale that ships ~7 GB through every while_loop compile (and
     # the tunnel), observed as 400-2200 s "factorization" times.
     if cur.BE is None:
-        if precond is None:
+        if pc_op is None:
             res = jax.jit(lambda q: cg(q, tol=tol))(cur)
         else:
-            res = cg(cur, tol=tol, precond=precond)
+            res = jax.jit(lambda q, pc: cg(q, tol=tol, precond=pc.mv))(
+                cur, pc_op
+            )
     else:
         pf_holder = cur
         cur, _ = enforce_eq_by_projector(cur)
@@ -299,13 +307,19 @@ def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
         # f32 factors + the TPU's float-float f64 stall at ~4e-3 relative
         # and then blow up); the per-iteration coarse solve (kc x kc
         # triangular, microseconds) removes the leak unconditionally.
-        if precond is None:
+        if pc_op is None:
             res = jax.jit(
                 lambda q, pf: cg(q, tol=tol, project=pf.apply_p)
             )(cur, pf_holder.pf)
         else:
-            res = cg(cur, tol=tol, precond=precond,
-                     project=pf_holder.pf.apply_p)
+            # the preconditioner rides inside the same jitted executable,
+            # passed as a pytree ARGUMENT like the QP (see above: a
+            # closed-over operator would bake its arrays into the
+            # executable as constants)
+            res = jax.jit(
+                lambda q, pf, pc: cg(q, tol=tol, precond=pc.mv,
+                                     project=pf.apply_p)
+            )(cur, pf_holder.pf, pc_op)
     sol = compose(steps)(Solution(x=res.x))
     return sol, res, dual
 
@@ -475,7 +489,7 @@ class FetiSolverSparse:
         use_fast = (
             self._pf is not None
             and qp.cE is None
-            and self.opts.pc_dual == "none"
+            and self.opts.pc_dual in ("none", "lumped")
             and not tracing.debug_enabled
         )
         with deterministic_mode(self.opts.deterministic):
