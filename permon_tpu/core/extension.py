@@ -46,6 +46,15 @@ class SubdomainExtension(LinearOperator):
     #: shrinks to a single gather (rmv) / scatter-add (mv) at the dual
     #: interface, halving the serialized-gather cost of an F application.
     blk: jax.Array = None
+    #: optional GATHER tables (see :meth:`with_gather_apply`): row-major
+    #: forms of B and B' so both apply directions are vectorized gathers —
+    #: TPU scatter-adds serialize and cost ~25 ms per direction at the
+    #: 1M-dof north star, while B's fan-in per row (and per primal dof) is a
+    #: small constant, so a (rows, width) gather covers it exactly.
+    gB_cols: jax.Array = None  # (m, gmax) int32 decomposed-col ids, pad = N
+    gB_vals: jax.Array = None  # (m, gmax)
+    gBt_rows: jax.Array = None  # (N, dmax) int32 dual-row ids, pad = m
+    gBt_vals: jax.Array = None  # (N, dmax)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -124,9 +133,55 @@ class SubdomainExtension(LinearOperator):
         blk = blk.at[s_idx, t_idx, self.cols].add(self.vals)
         return self.replace(blk=blk)
 
+    def with_gather_apply(self) -> "SubdomainExtension":
+        """Attach row-major gather tables for BOTH apply directions (host
+        setup, O(nnz)): ``mv`` becomes  out[r] = sum_j gB_vals[r, j] *
+        u[gB_cols[r, j]]  and ``rmv`` the same shape over primal dofs — no
+        scatter in either direction.  The widths gmax/dmax are the maximum
+        fan-in (2 for nonredundant gluing rows; a small constant for
+        full/orth and for per-dof membership), so the tables are O(m + N)
+        memory.  This is the single-chip hot-path layout; the sharded
+        shard_map path keeps the per-subdomain triplet form."""
+        if self.gB_cols is not None:
+            return self
+
+        rows = np.asarray(self.rows).reshape(-1)
+        vals = np.asarray(self.vals).reshape(-1)
+        sub = np.repeat(np.arange(self.ns), self.cols.shape[1])
+        gcols = sub * self.nl + np.asarray(self.cols).reshape(-1)
+        real = (rows < self.m_dual) & (vals != 0.0)
+        rows, gcols, vals = rows[real], gcols[real], vals[real]
+        N = self.ns * self.nl
+
+        def pack(keys, payload, pv, nrows, pad_key):
+            order = np.argsort(keys, kind="stable")
+            k_s, p_s, v_s = keys[order], payload[order], pv[order]
+            counts = np.bincount(k_s, minlength=nrows)
+            w = max(int(counts.max()) if len(counts) else 0, 1)
+            slot = np.arange(len(k_s)) - np.concatenate(
+                [[0], np.cumsum(counts)[:-1]]
+            )[k_s]
+            idx = np.full((nrows, w), pad_key, dtype=np.int32)
+            val = np.zeros((nrows, w), dtype=vals.dtype)
+            idx[k_s, slot] = p_s
+            val[k_s, slot] = v_s
+            return idx, val
+
+        gB_cols, gB_vals = pack(rows, gcols.astype(np.int32), vals,
+                                self.m_dual, N)
+        gBt_rows, gBt_vals = pack(gcols, rows.astype(np.int32), vals,
+                                  N, self.m_dual)
+        return self.replace(
+            gB_cols=jnp.asarray(gB_cols), gB_vals=jnp.asarray(gB_vals),
+            gBt_rows=jnp.asarray(gBt_rows), gBt_vals=jnp.asarray(gBt_vals),
+        )
+
     def mv(self, u):
         """B u: per-subdomain gather + scatter-add, then the cross-subdomain
         sum (the single psum when sharded)."""
+        if self.gB_cols is not None:
+            up = jnp.concatenate([u, jnp.zeros(1, u.dtype)])
+            return jnp.sum(self.gB_vals * up[self.gB_cols], axis=1)
         ub = u.reshape(self.ns, self.nl)
         if self.blk is not None:
             contrib = jnp.einsum("stl,sl->st", self.blk, ub)
@@ -138,6 +193,9 @@ class SubdomainExtension(LinearOperator):
 
     def rmv(self, lam):
         """B' lambda: communication-free gather from the (replicated) dual."""
+        if self.gBt_rows is not None:
+            lp = jnp.concatenate([lam, jnp.zeros(1, lam.dtype)])
+            return jnp.sum(self.gBt_vals * lp[self.gBt_rows], axis=1)
         lam_pad = jnp.concatenate([lam, jnp.zeros(1, lam.dtype)])
         if self.blk is not None:
             gathered = lam_pad[self.rows]

@@ -87,13 +87,25 @@ def ensure_pf(qp: QP, orthonormal_rows: bool = False) -> QP:
 SPARSE_COARSE_THRESHOLD = 1 << 25
 
 
+#: element count up to which the sparse coarse build ships G to the device
+#: as an explicit dense (k, m) array.  The lazy G = R'B' operator routes
+#: every projector application through two PRIMAL-sized scatter/gather
+#: chains (measured 134 ms per P apply at the 1M-dof north star, vs ~0.1 ms
+#: for the dense GEMV at k=63, m=94563 — a 47 MB array); past the cutoff
+#: (512 MB, e.g. ns=512 x 6 RBMs at m=10^6) the lazy operator keeps peak
+#: memory O(nnz).
+DENSE_G_ELEMENTS = 1 << 26
+
+
 def _sparse_coarse(R, B):
-    """Host-side sparse coarse build: G = R'B' as a LAZY operator plus the
-    sparse Gram GG' (scipy), without materializing dense R or G — the analog
-    of the reference's sparse MatTransposeMatMult G = R'B'
+    """Host-side sparse coarse build: G = R'B' plus the sparse Gram GG'
+    (scipy), without materializing dense R or the dense (N, k) products —
+    the analog of the reference's sparse MatTransposeMatMult G = R'B'
     (qptransform.c:1089-1100, extension.c:544-620) and sparse GG'
-    factorization (qppf.c:213-278).  Returns None when either operator lacks
-    sparse structure."""
+    factorization (qppf.c:213-278).  G itself is shipped to the device
+    densely below :data:`DENSE_G_ELEMENTS` (k is small — nullspace columns —
+    so (k, m) is tiny even when N is millions) and stays a lazy operator
+    above it.  Returns None when either operator lacks sparse structure."""
     from .sparse_rows import to_scipy
 
     R_sp = to_scipy(R)  # (N, k)
@@ -102,7 +114,11 @@ def _sparse_coarse(R, B):
         return None
     G_sp = (R_sp.T @ B_sp.T).tocsr()  # (k, m) sparse
     ggt = (G_sp @ G_sp.T).tocsr()
-    G_op = Product((Transpose(R), Transpose(B)))  # mv = R'(B' lam), lazy
+    k, m = G_sp.shape
+    if k * m <= DENSE_G_ELEMENTS:
+        G_op = Dense.create(jnp.asarray(G_sp.toarray()))
+    else:
+        G_op = Product((Transpose(R), Transpose(B)))  # mv = R'(B' lam), lazy
     return G_op, ggt
 
 

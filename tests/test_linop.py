@@ -121,6 +121,26 @@ class TestThroughputModes:
         np.testing.assert_allclose(np.asarray(Bd.mv(u)), np.asarray(B.mv(u)), atol=1e-12)
         np.testing.assert_allclose(np.asarray(Bd.rmv(lam)), np.asarray(B.rmv(lam)), atol=1e-12)
 
+    def test_extension_gather_apply(self):
+        """Gather-table applies (no-scatter single-chip hot path, round 3)
+        must match the triplet scatter path in BOTH directions, including
+        repeated (row, col) entries and zero-padded slots."""
+        from permon_tpu.core.extension import SubdomainExtension
+
+        rng = np.random.RandomState(7)
+        ns, nl, m, nnz = 3, 8, 10, 30
+        rows = rng.randint(0, m, nnz)
+        cols = rng.randint(0, ns * nl, nnz)
+        vals = rng.randn(nnz)
+        B = SubdomainExtension.from_coo(rows, cols, vals, m=m, ns=ns, nl=nl)
+        Bg = B.with_gather_apply()
+        u = jnp.asarray(rng.rand(ns * nl))
+        lam = jnp.asarray(rng.rand(m))
+        np.testing.assert_allclose(np.asarray(Bg.mv(u)), np.asarray(B.mv(u)),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Bg.rmv(lam)),
+                                   np.asarray(B.rmv(lam)), atol=1e-12)
+
 
 class TestIterativeInv:
     """MATINV's CG fallback for matrix-free operators (matinv.c:535-540)."""
