@@ -510,58 +510,97 @@ class FetiSolverSparse:
 
     # -- repeated-solve fast path -----------------------------------------
     def _fast_fn(self, tol: Tolerances):
-        """One jitted executable for the ENTIRE dual solve + post chain
-        (dualize with the reused pf skips all host work): the eager
+        """One jitted executable for the ENTIRE warm solve: dual solve +
+        post chain + global reassembly + every f64 primal defect-correction
+        pass (dualize with the reused pf skips all host work).  The eager
         transform chain costs one dispatch round-trip per op — over the
-        axon tunnel that dominates a 1M-dof re-solve — while this is one
-        dispatch total.  Only small outputs cross the jit boundary (the
-        decomposed solution and the CG counters), never the factor
-        arrays."""
+        axon tunnel that dominates a 1M-dof re-solve — and the previous
+        host-side refine loop added four ~9 MB tunnel transfers plus host
+        scipy SpMVs per solve; this is one dispatch and one ~8 MB fetch.
+        The defect pass reuses qp.A (the ORIGINAL singular K stencil, not
+        the regularized one — see assemble_qp_sparse) for the on-device
+        residual.  Only the solution and CG counters cross the jit
+        boundary, never the factor arrays."""
         key = (tol.rtol, tol.atol, tol.divtol, tol.max_it)
         fn = self._fast_cache.get(key)
         if fn is None:
             opts = self.opts
+            nref = self.primal_refine
+            ng = self.prob.n_global
 
-            def run(qp, kplus, kplus_post, pf, b):
-                sol, res, _ = _solve_prepared(
-                    qp.replace(b=b), kplus, opts, tol,
-                    kplus_post=kplus_post, pf=pf,
-                )
-                return sol.x, res.iterations, res.reason, res.rnorm
+            def run(qp, kplus, kplus_post, pf, b, l2g_c, real, counts_g):
+                # l2g_c: (ns*nlp,) int32 global dof per copy, padding -> ng
+                # real: (ns*nlp,) bool; counts_g: (ng,) f64 multiplicities
+                def solve_chain(bb):
+                    sol, res, _ = _solve_prepared(
+                        qp.replace(b=bb), kplus, opts, tol,
+                        kplus_post=kplus_post, pf=pf,
+                    )
+                    return sol.x, res
+
+                def assemble(xd):
+                    xg = jnp.zeros(ng + 1, xd.dtype).at[l2g_c].add(
+                        jnp.where(real, xd, 0.0)
+                    )
+                    return xg[:ng] / counts_g
+
+                x_dec, res = solve_chain(b)
+                xg = assemble(x_dec)
+                for _ in range(nref):
+                    u_lift = jnp.where(
+                        real,
+                        jnp.concatenate([xg, jnp.zeros(1, xg.dtype)])[l2g_c],
+                        0.0,
+                    )
+                    r = jnp.where(real, b - qp.A.mv(u_lift), 0.0)
+                    # sum the copies (= assembled residual) and re-split
+                    # with D = 1/multiplicity (decompose_rhs_by_multiplicity)
+                    rg = jnp.zeros(ng + 1, r.dtype).at[l2g_c].add(r)
+                    r_dec = jnp.where(
+                        real,
+                        rg[l2g_c]
+                        / jnp.concatenate([counts_g, jnp.ones(1)])[l2g_c],
+                        0.0,
+                    )
+                    dx, res = solve_chain(r_dec)
+                    xg = xg + assemble(dx)
+                return (xg, x_dec, res.iterations, res.reason, res.rnorm)
 
             fn = jax.jit(run)
             self._fast_cache[key] = fn
         return fn
 
-    def _solve_fast(self, prob, qp, tol: Tolerances) -> FetiResult:
-        import scipy.sparse as sp
+    def _reassembly_tables(self, prob, nlp):
+        """Device-side reassembly index tables (cached): clamped global ids
+        per padded copy (padding -> n_global), the real-dof mask, and the
+        global multiplicity counts."""
+        if getattr(self, "_l2g_c", None) is None:
+            ng = prob.n_global
+            l2g_pad = np.full((prob.ns, nlp), -1, dtype=np.int64)
+            l2g_pad[:, : prob.nl] = prob.l2g
+            flat = l2g_pad.reshape(-1)
+            real = flat >= 0
+            counts = np.bincount(flat[real], minlength=ng).astype(np.float64)
+            self._l2g_c = jnp.asarray(
+                np.where(real, flat, ng).astype(np.int32)
+            )
+            self._real_mask = jnp.asarray(real)
+            self._counts_g = jnp.asarray(np.maximum(counts, 1.0))
+        return self._l2g_c, self._real_mask, self._counts_g
 
+    def _solve_fast(self, prob, qp, tol: Tolerances) -> FetiResult:
         from ..solvers.cg import CGResult
-        from .solve import assemble_global_mean
 
         nlp = qp.BE.nl
         fn = self._fast_fn(tol)
-        x_dec, its, reason, rnorm = fn(
-            qp, self.kplus, self.kplus_post, self._pf, qp.b
+        l2g_c, real, counts_g = self._reassembly_tables(prob, nlp)
+        x_global, x_dec, its, reason, rnorm = fn(
+            qp, self.kplus, self.kplus_post, self._pf, qp.b,
+            l2g_c, real, counts_g,
         )
-        u = np.asarray(x_dec).reshape(prob.ns, nlp)
-        x_global = assemble_global_mean(u[:, : prob.nl], prob.l2g,
-                                        prob.n_global)
-        if self.primal_refine and self._K_csr is None:
-            self._K_csr = [sp.csr_matrix(K) for K in prob.K_blocks]
-        for _ in range(self.primal_refine):
-            r_flat, _ = _primal_defect_rhs(prob, self._K_csr, x_global, nlp)
-            dx, its, reason, rnorm = fn(
-                qp, self.kplus, self.kplus_post, self._pf,
-                jnp.asarray(r_flat),
-            )
-            du = np.asarray(dx).reshape(prob.ns, nlp)
-            x_global = x_global + assemble_global_mean(
-                du[:, : prob.nl], prob.l2g, prob.n_global
-            )
         res = CGResult(x=x_dec, reason=reason, iterations=its, rnorm=rnorm,
                        nmv=its + 1)
         return FetiResult(
-            x_global=x_global, u_decomposed=x_dec,
+            x_global=np.asarray(x_global), u_decomposed=x_dec,
             solution=Solution(x=x_dec), result=res, qp=qp, dual_qp=None,
         )
