@@ -46,8 +46,11 @@ def main(ncells=100, g=4):
             json.dump(out, f, indent=1)
 
     t1 = time.time()
+    # deterministic=True: all solver reductions run as the fixed binary
+    # tree — bit-stable across device counts AND ~72x faster than XLA's
+    # sequential float-float f64 reduce on TPU (core/detred.py)
     solver = FetiSolverSparse(
-        prob, FetiOptions(gluing="nonred"),
+        prob, FetiOptions(gluing="nonred", deterministic=True),
         kplus_dtype=jnp.float32, kplus_refine=2, primal_refine=1,
     )
     res = solver.solve(tol=Tolerances(rtol=1e-5))
