@@ -480,11 +480,41 @@ class FetiSolverSparse:
         self._fast_cache: dict = {}
         self._K_csr = None
 
+    def _ensure_pf(self):
+        """Build the coarse projector DIRECTLY (host sparse G = R'B' + Gram,
+        qp/transforms._sparse_coarse) so even the FIRST solve rides the
+        one-dispatch fast executable.  The eager transform chain that
+        otherwise builds pf costs hundreds of seconds of per-op dispatch +
+        compile over the axon tunnel at the 1M-dof scale (measured 243 s for
+        the dualize step alone).  Gated to the sparse-coarse regime so the
+        small-problem parity paths keep their original (dense device Gram)
+        first-solve numbers."""
+        from ..qp.projector import Projector
+        from ..qp.transforms import SPARSE_COARSE_THRESHOLD, _sparse_coarse
+
+        qp = self.qp
+        if (
+            self._pf is not None
+            or qp.R is None
+            or qp.R.shape[1] == 0
+            or self.opts.coarse == "dense"
+        ):
+            return
+        k = qp.R.shape[1]
+        big = k * (qp.R.shape[0] + qp.BE.shape[0]) > SPARSE_COARSE_THRESHOLD
+        if not (big or self.opts.coarse == "sparse"):
+            return
+        sc = _sparse_coarse(qp.R, qp.BE)
+        if sc is not None:
+            G, gram = sc
+            self._pf = Projector.create(G, gram=gram)
+
     def solve(self, b_loc=None, tol: Tolerances = Tolerances()) -> FetiResult:
         from ..core.detred import deterministic_mode
         from ..sys import tracing
 
         prob, qp = self.prob, self.qp
+        self._ensure_pf()
         if b_loc is not None:
             prob = dataclasses.replace(prob, b_loc=np.asarray(b_loc))
             nlp = qp.BE.nl

@@ -172,6 +172,32 @@ class TestFetiSolverSparse:
         np.testing.assert_allclose(r2.x_global, ref.x_global, atol=1e-7)
         np.testing.assert_allclose(r2.x_global, 1.5 * r1.x_global, atol=1e-6)
 
+    def test_first_solve_direct_pf_matches_eager(self):
+        """coarse='sparse' triggers the direct host pf build (_ensure_pf):
+        the FIRST solve already rides the one-dispatch executable and must
+        match the eager-path solve bit-for-near (same sparse coarse Gram)."""
+        from permon_tpu.feti.large import FetiSolverSparse
+
+        prob = build_sparse(CELLS, GRID)
+        solver = FetiSolverSparse(
+            prob, FetiOptions(gluing="nonred", coarse="sparse"),
+            kplus_dtype=jnp.float32, kplus_refine=2, primal_refine=1,
+        )
+        assert solver._pf is None
+        r1 = solver.solve(tol=Tolerances(rtol=1e-6))
+        # the direct pf was built before the first solve -> fast path ran
+        assert solver._pf is not None
+        ref = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred", coarse="sparse"),
+            tol=Tolerances(rtol=1e-6),
+            kplus_dtype=jnp.float32, kplus_refine=2, primal_refine=1,
+        )
+        # counts are from the defect-correction pass whose rhs is
+        # noise-scale; the on-device defect (qp.A stencil) vs the eager
+        # host scipy defect differ in the last bits, so allow a small gap
+        assert abs(int(r1.result.iterations) - int(ref.result.iterations)) <= 3
+        np.testing.assert_allclose(r1.x_global, ref.x_global, atol=1e-7)
+
     def test_fast_path_lumped_pc(self):
         """pc_dual='lumped' must ride the one-dispatch fast executable
         (round 3: the preconditioner is passed into the jitted solve as a
