@@ -135,11 +135,17 @@ def reorder_rcm(prob: SparseFetiProblem) -> SparseFetiProblem:
 
 def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(),
                        NB: Optional[int] = None, kplus_dtype=None,
-                       kplus_refine: int = 0, op_dtype=None):
+                       kplus_refine: int = 0, op_dtype=None,
+                       BI=None, cI=None):
     """Build the decomposed QP (A = BlockTridiag, BE = gluing [+ Dirichlet
     rows], R analytic) and the band K+.  Local sizes are padded to a
     multiple of the band block size NB (padding dofs get unit diagonals and
     l2g = -1, invisible to gluing and nullspace).
+
+    ``BI``/``cI`` attach contact inequalities B_I u <= c_I given as a
+    :class:`~permon_tpu.core.extension.SubdomainExtension` over the
+    UNPADDED (ns, nl) decomposed space (same interface as the dense
+    ``feti_solve``); the operator is re-padded to nlp here.
 
     Returns (qp, kplus, NB)."""
     import scipy.sparse as sp
@@ -253,6 +259,11 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
     # homogenize_eq (one A apply + coarse solve) entirely
     cE_arr = np.concatenate(cE_parts)
     qp = QP(A=A, b=b, BE=BE, cE=cE if cE_arr.any() else None, R=R)
+    if BI is not None:
+        BIp = BI.replace(nl=nlp).with_gather_apply()
+        qp = qp.replace(
+            BI=BIp, cI=None if cI is None else jnp.asarray(cI)
+        )
     return qp, kplus, NB
 
 
@@ -306,6 +317,20 @@ def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
         cur, _ = enforce_eq_by_projector(cur)
         _, post_p = enforce_eq_by_projector(cur_a)
         steps.append((cur, post_p))
+        if cur.box is not None:
+            # contact at scale: box constraints survive into the projected
+            # dual — SMALXE (SMALBE) outer loop with MPRGP inner, the
+            # reference's -project 1 contact pipeline (smalxe.c:892-997).
+            # The augmented term rho G'G actively controls im(P) drift, so
+            # the per-iteration reprojection of the CG path is not needed.
+            from ..solvers.smalxe import smalxe
+
+            sm = opts.smalxe
+            res = jax.jit(lambda q: smalxe(q, opts=sm, tol=tol))(cur)
+            sol = compose(steps)(
+                Solution(x=res.x, Bt_lambda=getattr(res, "Bt_lambda", None))
+            )
+            return sol, res, dual
         # FULL reprojection — w = P r EVERY iteration, the reference's PCPG
         # recurrence (pcpg.c:51-134).  With low-precision K+ applies the
         # recursive residual slowly leaks out of im(P) (observed on-chip:
@@ -338,6 +363,8 @@ def feti_solve_sparse(
     kplus_refine: int = 0,
     op_dtype=None,
     primal_refine: int = 0,
+    BI=None,
+    cI=None,
 ) -> FetiResult:
     """TFETI solve on sparse subdomain blocks: dualize (band K+) ->
     homogenize -> project -> CG, then fold back and assemble the global
@@ -357,19 +384,26 @@ def feti_solve_sparse(
 
     from ..core.detred import deterministic_mode
 
+    if BI is not None and primal_refine:
+        raise ValueError(
+            "primal_refine assumes a LINEAR solve; with contact "
+            "inequalities the defect correction is invalid — use f64 "
+            "factors or kplus_refine instead"
+        )
     with deterministic_mode(opts.deterministic):
         return _feti_solve_sparse_body(
             prob, opts, tol, NB, kplus_dtype, kplus_refine, op_dtype,
-            primal_refine,
+            primal_refine, BI, cI,
         )
 
 
 def _feti_solve_sparse_body(
-    prob, opts, tol, NB, kplus_dtype, kplus_refine, op_dtype, primal_refine
+    prob, opts, tol, NB, kplus_dtype, kplus_refine, op_dtype, primal_refine,
+    BI=None, cI=None,
 ) -> FetiResult:
     qp, kplus, NB = assemble_qp_sparse(
         prob, opts, NB=NB, kplus_dtype=kplus_dtype, kplus_refine=kplus_refine,
-        op_dtype=op_dtype,
+        op_dtype=op_dtype, BI=BI, cI=cI,
     )
     # low-precision factors: the hot dual CG runs UNREFINED applies, the
     # refined K+ (same factor arrays, zero extra memory) is reserved for
@@ -463,13 +497,18 @@ class FetiSolverSparse:
     def __init__(self, prob: SparseFetiProblem,
                  opts: FetiOptions = FetiOptions(), NB: Optional[int] = None,
                  kplus_dtype=None, kplus_refine: int = 0, op_dtype=None,
-                 primal_refine: int = 0):
+                 primal_refine: int = 0, BI=None, cI=None):
+        if BI is not None and primal_refine:
+            raise ValueError(
+                "primal_refine assumes a LINEAR solve; with contact "
+                "inequalities use f64 factors or kplus_refine instead"
+            )
         self.prob = prob
         self.opts = opts
         self.primal_refine = primal_refine
         self.qp, kplus, self.NB = assemble_qp_sparse(
             prob, opts, NB=NB, kplus_dtype=kplus_dtype,
-            kplus_refine=kplus_refine, op_dtype=op_dtype,
+            kplus_refine=kplus_refine, op_dtype=op_dtype, BI=BI, cI=cI,
         )
         self.kplus_post = None
         if kplus.refine and kplus.op is not None:
@@ -500,11 +539,14 @@ class FetiSolverSparse:
             or self.opts.coarse == "dense"
         ):
             return
+        from ..core.linop import VStack as _VStack
+
+        B = qp.BE if qp.BI is None else _VStack((qp.BE, qp.BI))
         k = qp.R.shape[1]
-        big = k * (qp.R.shape[0] + qp.BE.shape[0]) > SPARSE_COARSE_THRESHOLD
+        big = k * (qp.R.shape[0] + B.shape[0]) > SPARSE_COARSE_THRESHOLD
         if not (big or self.opts.coarse == "sparse"):
             return
-        sc = _sparse_coarse(qp.R, qp.BE)
+        sc = _sparse_coarse(qp.R, B)
         if sc is not None:
             G, gram = sc
             self._pf = Projector.create(G, gram=gram)

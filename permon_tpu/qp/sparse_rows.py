@@ -52,7 +52,7 @@ def to_coo(op) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, 
         keep = vals != 0
         return rows[keep], cols[keep], vals[keep], (m, n)
     if isinstance(op, VStack):
-        parts = [to_coo(b) for b in op.blocks]
+        parts = [to_coo(b) for b in op.ops]
         if any(p is None for p in parts):
             return None
         off = 0
@@ -102,8 +102,16 @@ def scale_rows(op, d):
     if isinstance(op, SubdomainExtension):
         d_pad = jnp.concatenate([jnp.asarray(d, op.vals.dtype),
                                  jnp.zeros(1, op.vals.dtype)])
-        scaled = op.replace(vals=op.vals * d_pad[op.rows], blk=None)
-        return scaled.with_dense_blocks() if op.blk is not None else scaled
+        # derived apply layouts (dense blocks, gather tables) bake vals in —
+        # drop and rebuild them so the scaled operator stays consistent
+        scaled = op.replace(vals=op.vals * d_pad[op.rows], blk=None,
+                            gB_cols=None, gB_vals=None,
+                            gBt_rows=None, gBt_vals=None)
+        if op.blk is not None:
+            scaled = scaled.with_dense_blocks()
+        if op.gB_cols is not None:
+            scaled = scaled.with_gather_apply()
+        return scaled
     if isinstance(op, Ell):
         return op.replace(vals=op.vals * jnp.asarray(d, op.vals.dtype)[:, None])
     if isinstance(op, Dense):

@@ -123,6 +123,67 @@ class TestSparseFeti:
         assert kplus.shape[1] == qp.BE.ns * qp.BE.nl
 
 
+class TestSparseContact:
+    """Contact (box-constrained dual / SMALBE) through the LARGE path:
+    inequality rows ride the sparse-blocks pipeline — dualize VStacks
+    [B_gluing+Dirichlet; B_obstacle], the projected dual keeps its box and
+    is solved by SMALXE/MPRGP instead of CG (feti/large.py round 3)."""
+
+    def test_matches_dense_contact_pipeline(self):
+        from examples.feti_contact import build as build_contact
+        from permon_tpu.feti.solve import feti_solve
+
+        ns, ne = 4, 25
+        prob_d, BI, cI, lb = build_contact(ns, ne)
+        r_ref = feti_solve(
+            prob_d, FetiOptions(gluing="nonred"), BI=BI, cI=cI,
+            tol=Tolerances(rtol=1e-6),
+        )
+        sprob = SparseFetiProblem(
+            K_blocks=[sp.csr_matrix(prob_d.K_blocks[s]) for s in range(ns)],
+            b_loc=prob_d.b_loc, l2g=prob_d.l2g,
+            floating=np.ones(ns, dtype=bool),
+            dirichlet=prob_d.dirichlet,
+        )
+        r = feti_solve_sparse(
+            sprob, FetiOptions(gluing="nonred"), BI=BI, cI=cI,
+            tol=Tolerances(rtol=1e-6),
+        )
+        # same decomposition, same pipeline, band K+ instead of dense K+ —
+        # the projected pipeline is K+-invariant (PARITY.md)
+        np.testing.assert_allclose(r.x_global, r_ref.x_global, atol=1e-5)
+        # obstacle respected to the dual solve's feasibility level
+        assert (r.x_global >= lb - 5e-4).all()
+
+    def test_solver_reuse_contact(self):
+        """Contact through FetiSolverSparse: repeated solves reuse the band
+        factors and the coarse projector; the fast path runs SMALXE inside
+        the one-dispatch executable."""
+        from examples.feti_contact import build as build_contact
+        from permon_tpu.feti.large import FetiSolverSparse
+
+        ns, ne = 4, 25
+        prob_d, BI, cI, lb = build_contact(ns, ne)
+        sprob = SparseFetiProblem(
+            K_blocks=[sp.csr_matrix(prob_d.K_blocks[s]) for s in range(ns)],
+            b_loc=prob_d.b_loc, l2g=prob_d.l2g,
+            floating=np.ones(ns, dtype=bool),
+            dirichlet=prob_d.dirichlet,
+        )
+        solver = FetiSolverSparse(
+            sprob, FetiOptions(gluing="nonred", coarse="sparse"),
+            BI=BI, cI=cI,
+        )
+        r1 = solver.solve(tol=Tolerances(rtol=1e-6))
+        r2 = solver.solve(tol=Tolerances(rtol=1e-6))  # fast path
+        np.testing.assert_allclose(r2.x_global, r1.x_global, atol=1e-8)
+        ref = feti_solve_sparse(
+            sprob, FetiOptions(gluing="nonred", coarse="sparse"),
+            BI=BI, cI=cI, tol=Tolerances(rtol=1e-6),
+        )
+        np.testing.assert_allclose(r1.x_global, ref.x_global, atol=1e-6)
+
+
 class TestNorthStarShape:
     """CI-sized twin of the 1M-dof north star (101^3, 64 subdomains of
     <= 27^3 — scripts/northstar.py, captured on-chip in round 3: 44 dual CG
