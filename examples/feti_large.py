@@ -136,6 +136,43 @@ def build_sparse(cells=(24, 24, 24), grid=(2, 2, 2)):
     )
 
 
+def build_obstacle(cells=(24, 24, 24), grid=(2, 2, 2), cap=None):
+    """Contact variant of :func:`build_sparse`: a ceiling u <= cap on the
+    far face (x = Lx) of the Poisson box — the membrane pressed against a
+    plane, creating an active contact set where the unconstrained solution
+    would exceed the cap.  One inequality row per far-face node on its
+    first owning copy (same convention as examples/feti_contact.py).
+
+    Returns (prob, BI, cI, cap)."""
+    from permon_tpu.core.extension import SubdomainExtension
+
+    prob = build_sparse(cells, grid)
+    Mx = cells[0] + 1
+    if cap is None:
+        # the free solution of -u'' = 1, u(0) = 0 grows like x^2/2: cap at
+        # a fraction of the far-face scale so contact actually activates
+        cap = 0.3 * (Mx - 1) ** 2 / 2.0
+    ns, nl = prob.ns, prob.nl
+    owner_seen = set()
+    rows, cols, vals, cI = [], [], [], []
+    mI = 0
+    for s in range(ns):
+        for i in range(nl):
+            g = prob.l2g[s, i]
+            if g < 0 or g % Mx != Mx - 1 or g in owner_seen:
+                continue
+            owner_seen.add(int(g))
+            rows.append(mI)
+            cols.append(s * nl + i)
+            vals.append(1.0)  # +u <= cap
+            cI.append(cap)
+            mI += 1
+    BI = SubdomainExtension.from_coo(
+        np.array(rows), np.array(cols), np.array(vals), m=mI, ns=ns, nl=nl
+    )
+    return prob, BI, np.array(cI), cap
+
+
 def assembled_system(cells):
     """The assembled global 7-point system for verification."""
     cx, cy, cz = cells

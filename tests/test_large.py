@@ -155,6 +155,36 @@ class TestSparseContact:
         # obstacle respected to the dual solve's feasibility level
         assert (r.x_global >= lb - 5e-4).all()
 
+    def test_3d_obstacle_vs_assembled_mprgp(self):
+        """3-D contact through the large path (far-face ceiling on the
+        Poisson box) must match the serial MPRGP solve of the assembled
+        box-constrained QP — cross-solver, cross-formulation oracle."""
+        import jax.numpy as jnp
+
+        import permon_tpu as pt
+        from examples.feti_large import assembled_system, build_obstacle
+        from permon_tpu.qpc.box import BoxConstraint
+
+        cells, grid = (10,) * 3, (2,) * 3
+        prob, BI, cI, cap = build_obstacle(cells, grid)
+        r = feti_solve_sparse(
+            prob, FetiOptions(gluing="nonred"), BI=BI, cI=cI,
+            tol=Tolerances(rtol=1e-7),
+        )
+        A, b = assembled_system(cells)
+        Mx = cells[0] + 1
+        ub = np.full(len(b), np.inf)
+        ub[np.arange(len(b)) % Mx == Mx - 1] = cap
+        qp = pt.QP(
+            A=pt.make_operator(A), b=jnp.asarray(b),
+            box=BoxConstraint.create(len(b), ub=jnp.asarray(ub)),
+        )
+        ref = pt.solve(qp, tol=Tolerances(rtol=1e-9, max_it=3000))
+        xref = np.asarray(ref.x)
+        # contact must actually be active for the test to mean anything
+        assert (xref >= ub - 1e-6).any()
+        np.testing.assert_allclose(r.x_global, xref, atol=2e-4)
+
     def test_solver_reuse_contact(self):
         """Contact through FetiSolverSparse: repeated solves reuse the band
         factors and the coarse projector; the fast path runs SMALXE inside
