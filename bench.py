@@ -426,6 +426,26 @@ def main():
         print(f"secondary: feti_large skipped ({type(e).__name__}: {e})",
               file=sys.stderr)
 
+    # contact at scale through the large path (committed on-chip capture,
+    # scripts/northstar_contact.py)
+    try:
+        nc_path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                "scripts", "northstar_contact.json")
+        if _os.path.exists(nc_path):
+            with open(nc_path) as f:
+                nc = json.load(f)
+            feti["feti_contact_large_dofs"] = nc["dofs"]
+            feti["feti_contact_large_its"] = nc["its"]
+            feti["feti_contact_large_nmv"] = nc.get("nmv")
+            feti["feti_contact_large_resolve_warm_s"] = nc["resolve_warm_s"]
+            feti["feti_contact_large_active"] = nc.get("active_nodes")
+            print(f"secondary: feti_contact_large {nc['dofs']} dofs "
+                  f"{nc['its']} its warm {nc['resolve_warm_s']} s",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"secondary: feti_contact_large skipped "
+              f"({type(e).__name__}: {e})", file=sys.stderr)
+
     _emit()
 
 
