@@ -636,7 +636,9 @@ class FetiSolverSparse:
                     )
                     dx, res = solve_chain(r_dec)
                     xg = xg + assemble(dx)
-                return (xg, x_dec, res.iterations, res.reason, res.rnorm)
+                # return the full result pytree (CGResult for linear solves,
+                # SMALXEResult for contact) so outer/inner counters survive
+                return (xg, x_dec, res)
 
             fn = jax.jit(run)
             self._fast_cache[key] = fn
@@ -661,17 +663,13 @@ class FetiSolverSparse:
         return self._l2g_c, self._real_mask, self._counts_g
 
     def _solve_fast(self, prob, qp, tol: Tolerances) -> FetiResult:
-        from ..solvers.cg import CGResult
-
         nlp = qp.BE.nl
         fn = self._fast_fn(tol)
         l2g_c, real, counts_g = self._reassembly_tables(prob, nlp)
-        x_global, x_dec, its, reason, rnorm = fn(
+        x_global, x_dec, res = fn(
             qp, self.kplus, self.kplus_post, self._pf, qp.b,
             l2g_c, real, counts_g,
         )
-        res = CGResult(x=x_dec, reason=reason, iterations=its, rnorm=rnorm,
-                       nmv=its + 1)
         return FetiResult(
             x_global=np.asarray(x_global), u_decomposed=x_dec,
             solution=Solution(x=x_dec), result=res, qp=qp, dual_qp=None,
