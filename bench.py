@@ -442,6 +442,11 @@ def main():
             print(f"secondary: feti_contact_large {nc['dofs']} dofs "
                   f"{nc['its']} its warm {nc['resolve_warm_s']} s",
                   file=sys.stderr)
+        else:
+            feti["feti_contact_large_error"] = "capture missing"
+            print("secondary: feti_contact_large CAPTURE MISSING — run "
+                  "scripts/northstar_contact.py on the chip and commit "
+                  "scripts/northstar_contact.json", file=sys.stderr)
     except Exception as e:
         print(f"secondary: feti_contact_large skipped "
               f"({type(e).__name__}: {e})", file=sys.stderr)

@@ -27,6 +27,45 @@ if _os.environ.get("PERMON_TPU_X64", "1") != "0":
 
     _jax.config.update("jax_enable_x64", True)
 
+
+def enable_compilation_cache(cache_dir=None) -> bool:
+    """Point jax's persistent compilation cache at a repo-local directory —
+    the large-path executables compile in minutes over the axon tunnel (the
+    1M-dof fast-path executable alone is ~half of a 75 s cold re-solve, and
+    first solves were observed at 400-2200 s); caching makes that a one-time
+    cost per configuration across processes.
+
+    Activated lazily (not at import) because it must inspect the initialized
+    backend: the CPU backend's AOT cache is skipped — its serialized
+    executables are keyed loosely enough that entries compiled under
+    different XLA_FLAGS reload with machine-feature mismatch warnings.
+    Called automatically by the large-path solvers; PERMON_TPU_CACHE=0 opts
+    out, PERMON_TPU_CACHE_DIR redirects.  Returns True when active."""
+    import jax as _jax
+
+    if _os.environ.get("PERMON_TPU_CACHE", "1") == "0":
+        return False
+    try:
+        plat = _jax.devices()[0].platform
+    except Exception:
+        return False
+    if plat == "cpu":
+        return False
+    cache_dir = cache_dir or _os.environ.get(
+        "PERMON_TPU_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything with noticeable compile time, not just the >1 s
+        # default threshold's survivors
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax without these flags
+        return False
+    return True
+
 from .core.linop import (
     LinearOperator,
     Dense,
@@ -85,4 +124,5 @@ __all__ = [
     "mprgp",
     "Options",
     "solve_from_options",
+    "enable_compilation_cache",
 ]

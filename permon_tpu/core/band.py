@@ -116,6 +116,25 @@ def fixing_dofs(R_block: np.ndarray, lo: int = 0, hi: Optional[int] = None) -> n
     return np.sort(piv[:k] + lo)
 
 
+def _fixing_window(R_block: np.ndarray, NB: int, nl: int) -> Tuple[int, int]:
+    """The [lo, hi) row window the fixing dofs are picked from: inside ONE
+    diagonal band block near the end of the ordering, restricted to rows
+    where R is actually supported.  Subdomains smaller than the padded local
+    size have trailing all-zero R rows (padding); a window inside them would
+    make R_I'R_I singular (observed on non-divisible decompositions where a
+    29^3 block pads to a 30^3 neighbor's size)."""
+    k = R_block.shape[1]
+    rnz = np.flatnonzero(np.abs(R_block[:nl]).sum(axis=1) != 0.0)
+    if len(rnz) == 0:
+        raise ValueError("nullspace basis has no nonzero rows")
+    n_real = int(rnz[-1]) + 1
+    last = (n_real - 1) // NB
+    in_last = int(np.count_nonzero(rnz >= last * NB))  # supported rows only
+    if in_last >= max(4 * k, 16) or last == 0:
+        return last * NB, n_real
+    return (last - 1) * NB, last * NB
+
+
 def regularize_block_tridiag(
     Ad: np.ndarray, Asub: np.ndarray, R_block: np.ndarray, rho: float,
     NB: int, nl: Optional[int] = None,
@@ -130,12 +149,7 @@ def regularize_block_tridiag(
     if k == 0:
         return Ad, Asub
     nl = R_block.shape[0] if nl is None else nl
-    last = (nl - 1) // NB
-    in_last = nl - last * NB
-    if in_last >= max(4 * k, 16) or last == 0:
-        lo, hi = last * NB, nl
-    else:
-        lo, hi = (last - 1) * NB, last * NB
+    lo, hi = _fixing_window(R_block, NB, nl)
     I = fixing_dofs(R_block, lo=lo, hi=hi)
     RI = R_block[I]
     Q = RI @ np.linalg.solve(RI.T @ RI, RI.T)
@@ -159,12 +173,7 @@ def regularize_csr(Ksp, R_block: np.ndarray, rho: float, NB: int,
     if k == 0:
         return sp.csr_matrix(Ksp)
     nl = R_block.shape[0] if nl is None else nl
-    last = (nl - 1) // NB
-    in_last = nl - last * NB
-    if in_last >= max(4 * k, 16) or last == 0:
-        lo, hi = last * NB, nl
-    else:
-        lo, hi = (last - 1) * NB, last * NB
+    lo, hi = _fixing_window(R_block, NB, nl)
     I = fixing_dofs(R_block, lo=lo, hi=hi)
     RI = R_block[I]
     Q = RI @ np.linalg.solve(RI.T @ RI, RI.T)

@@ -133,6 +133,47 @@ def reorder_rcm(prob: SparseFetiProblem) -> SparseFetiProblem:
     )
 
 
+def eliminate_dirichlet_in_sparse_blocks(prob: SparseFetiProblem, K_blocks):
+    """Sparse-blocks Dirichlet-in-Hessian: for every copy (s, i) of a
+    Dirichlet dof, lift the rhs by -K_s[:, i] * value, zero row/column i
+    symmetrically, and put alpha = max|diag| (with alpha * value on the
+    rhs) on the diagonal — MatZeroRowsColumnsIS semantics
+    (qpfeti.c:280-306).  Returns (K_blocks', b_loc', touched) with
+    ``touched[s]`` true when block s holds a Dirichlet copy (those blocks
+    are non-singular afterwards and are grounded out of the nullspace,
+    the classical-FETI R-row zeroing)."""
+    import scipy.sparse as sp
+
+    b = prob.b_loc.copy()
+    dglob = prob.dirichlet_global()
+    dvals = (
+        prob.dirichlet_values
+        if prob.dirichlet_values is not None
+        else np.zeros(len(dglob))
+    )
+    val_of = dict(zip(dglob.tolist(), np.asarray(dvals).tolist()))
+    alpha = max(max(abs(K.diagonal()).max() for K in K_blocks), 1.0)
+    touched = np.zeros(prob.ns, dtype=bool)
+    K_out = []
+    for s, K in enumerate(K_blocks):
+        here = np.isin(prob.l2g[s], dglob)
+        idx = np.flatnonzero(here)
+        if not len(idx):
+            K_out.append(K)
+            continue
+        touched[s] = True
+        vvec = np.zeros(prob.nl)
+        vvec[idx] = [val_of[int(g)] for g in prob.l2g[s, idx]]
+        b[s] -= K @ vvec
+        keep = (~here).astype(K.dtype)
+        D = sp.diags(keep)
+        K2 = (D @ K @ D).tolil()
+        K2[idx, idx] = alpha
+        K_out.append(K2.tocsr())
+        b[s, idx] = alpha * vvec[idx]
+    return K_out, b, touched
+
+
 def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(),
                        NB: Optional[int] = None, kplus_dtype=None,
                        kplus_refine: int = 0, op_dtype=None,
@@ -150,8 +191,35 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
     Returns (qp, kplus, NB)."""
     import scipy.sparse as sp
 
+    if not opts.project:
+        raise NotImplementedError(
+            "the large path always runs the projected dual pipeline; "
+            "project=False (SMALXE on the unprojected dual) is a "
+            "tutorial-scale option — use feti_solve"
+        )
+    if opts.orth_G is not None:
+        raise NotImplementedError(
+            "orth_G on the large path: the sparse coarse build factors GG' "
+            "directly (band Cholesky), which subsumes the orthonormalization "
+            "shortcut — use feti_solve for the orth_G parity variants"
+        )
     ns, nl = prob.ns, prob.nl
     K_blocks = [sp.csr_matrix(K) for K in prob.K_blocks]
+    floating = np.asarray(prob.floating, dtype=bool).copy()
+    if not opts.dirichlet_by_B and len(prob.dirichlet):
+        # Dirichlet-in-Hessian (classical FETI): symmetric zero-rows-columns
+        # with alpha = max|diag| on the diagonal, rhs lifted by -K[:,i]*val,
+        # and the touched blocks grounded (their R rows zeroed — here: the
+        # block simply has no nullspace columns).  Reference:
+        # qpfeti.c:153-312 (MatZeroRowsColumnsIS + R row zeroing).
+        K_blocks, b_elim, touched = eliminate_dirichlet_in_sparse_blocks(
+            prob, K_blocks
+        )
+        prob = dataclasses.replace(
+            prob, b_loc=b_elim,
+            dirichlet=np.zeros(0, dtype=np.int64), dirichlet_values=None,
+        )
+        floating = floating & ~touched
     bw = max(bandwidth(K) for K in K_blocks)
     if NB is None:
         NB = max(((bw + 1 + 127) // 128) * 128, 128)
@@ -192,7 +260,7 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
     ).with_gather_apply()
     cE = jnp.asarray(np.concatenate(cE_parts))
 
-    fixed_mask = ~np.asarray(prob.floating, dtype=bool)
+    fixed_mask = ~floating
     if opts.nullspace == "rbm":
         assert prob.coords is not None, "rbm nullspace needs prob.coords"
         from .assembly import nullspace_columns_from_blocks
@@ -295,10 +363,19 @@ def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
         steps.append((cur_a, post_h))
 
     pc_op = None
-    if opts.pc_dual == "lumped":
+    if opts.pc_dual == "lumped" and qp.box is None and qp.BI is None:
+        # contact solves take the SMALXE/MPRGP branch below, which runs
+        # unpreconditioned (consistent with the dense path and the
+        # reference's MPGP); building the lumped operator would be a
+        # silent no-op — skip it and say so
         from ..pc.dual import PCDual
 
         pc_op = PCDual.create(qp.BE, qp.A, "lumped")
+    elif opts.pc_dual == "lumped":
+        from ..sys import tracing
+
+        tracing.info("pc_dual='lumped' ignored for contact: the MPRGP inner "
+                     "solver runs unpreconditioned (qps/impls/mpgp)")
 
     # the dual CG runs as ONE jitted executable with the QP (and its
     # multi-GB K+ factor arrays) passed as ARGUMENTS: a closed-over device
@@ -390,11 +467,20 @@ def feti_solve_sparse(
             "inequalities the defect correction is invalid — use f64 "
             "factors or kplus_refine instead"
         )
+    _enable_cache()
     with deterministic_mode(opts.deterministic):
         return _feti_solve_sparse_body(
             prob, opts, tol, NB, kplus_dtype, kplus_refine, op_dtype,
             primal_refine, BI, cI,
         )
+
+
+def _enable_cache():
+    """Persistent compilation cache for the large-path executables (the
+    whole point of the cache — see permon_tpu.enable_compilation_cache)."""
+    from .. import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 def _feti_solve_sparse_body(
@@ -412,8 +498,18 @@ def _feti_solve_sparse_body(
     if kplus.refine and kplus.op is not None:
         kplus_post = kplus
         kplus = kplus.replace(refine=0)
+    if opts.mesh is not None:
+        from ..parallel.dist import shard_qp_sparse
+
+        qp, kplus, kplus_post = shard_qp_sparse(
+            qp, kplus, opts.mesh, kplus_post=kplus_post
+        )
+    # honor the mesh/redundancy coarse layout on the function path too
+    pf = build_sparse_pf(qp, opts) if (
+        opts.mesh is not None and opts.qppf_redundancy
+    ) else None
     return _run_prepared_sparse(
-        prob, opts, tol, qp, kplus, kplus_post, primal_refine, pf=None
+        prob, opts, tol, qp, kplus, kplus_post, primal_refine, pf=pf
     )
 
 
@@ -481,6 +577,48 @@ def _run_prepared_sparse(
     )
 
 
+def build_sparse_pf(qp, opts: FetiOptions):
+    """Coarse projector for the sparse-coarse regime (host sparse G = R'B'
+    + sparse Gram, qp/transforms._sparse_coarse), honoring the mesh layout:
+    replicated coarse by default, redundancy-group distributed factor with
+    ``opts.qppf_redundancy`` (parallel/coarse.py; -qppf_redundancy,
+    qppf.c:182-333).  Returns None outside the sparse-coarse regime (small
+    problems keep the dense device Gram the parity oracles were pinned
+    with)."""
+    from ..qp.projector import Projector
+    from ..qp.transforms import SPARSE_COARSE_THRESHOLD, _sparse_coarse
+
+    if qp.R is None or qp.R.shape[1] == 0 or opts.coarse == "dense":
+        return None
+    from ..core.linop import VStack as _VStack
+
+    B = qp.BE if qp.BI is None else _VStack((qp.BE, qp.BI))
+    k = qp.R.shape[1]
+    big = k * (qp.R.shape[0] + B.shape[0]) > SPARSE_COARSE_THRESHOLD
+    if not (big or opts.coarse == "sparse"):
+        return None
+    sc = _sparse_coarse(qp.R, B)
+    if sc is None:
+        return None
+    G, gram = sc
+    mesh = opts.mesh
+    if mesh is not None and opts.qppf_redundancy:
+        from ..parallel.coarse import RedundantCoarse
+        from ..parallel.dist import replicate_projector
+
+        cp = RedundantCoarse.create(gram, mesh, axis=mesh.axis_names[-1])
+        return replicate_projector(
+            Projector(G=G, ggt_chol=None, orthonormal_rows=False,
+                      cp_dist=cp),
+            mesh,
+        )
+    if mesh is not None:
+        from ..parallel.dist import replicate_projector
+
+        return replicate_projector(Projector.create(G, gram=gram), mesh)
+    return Projector.create(G, gram=gram)
+
+
 class FetiSolverSparse:
     """Reusable large-path TFETI solver — the QPTFetiPrepareReuseCP analog
     at scale (qptransform.c:1213-1251): assembly, the band K+ factorization
@@ -503,6 +641,7 @@ class FetiSolverSparse:
                 "primal_refine assumes a LINEAR solve; with contact "
                 "inequalities use f64 factors or kplus_refine instead"
             )
+        _enable_cache()
         self.prob = prob
         self.opts = opts
         self.primal_refine = primal_refine
@@ -514,6 +653,12 @@ class FetiSolverSparse:
         if kplus.refine and kplus.op is not None:
             self.kplus_post = kplus
             kplus = kplus.replace(refine=0)
+        if opts.mesh is not None:
+            from ..parallel.dist import shard_qp_sparse
+
+            self.qp, kplus, self.kplus_post = shard_qp_sparse(
+                self.qp, kplus, opts.mesh, kplus_post=self.kplus_post
+            )
         self.kplus = kplus
         self._pf = None
         self._fast_cache: dict = {}
@@ -528,28 +673,8 @@ class FetiSolverSparse:
         the dualize step alone).  Gated to the sparse-coarse regime so the
         small-problem parity paths keep their original (dense device Gram)
         first-solve numbers."""
-        from ..qp.projector import Projector
-        from ..qp.transforms import SPARSE_COARSE_THRESHOLD, _sparse_coarse
-
-        qp = self.qp
-        if (
-            self._pf is not None
-            or qp.R is None
-            or qp.R.shape[1] == 0
-            or self.opts.coarse == "dense"
-        ):
-            return
-        from ..core.linop import VStack as _VStack
-
-        B = qp.BE if qp.BI is None else _VStack((qp.BE, qp.BI))
-        k = qp.R.shape[1]
-        big = k * (qp.R.shape[0] + B.shape[0]) > SPARSE_COARSE_THRESHOLD
-        if not (big or self.opts.coarse == "sparse"):
-            return
-        sc = _sparse_coarse(qp.R, B)
-        if sc is not None:
-            G, gram = sc
-            self._pf = Projector.create(G, gram=gram)
+        if self._pf is None:
+            self._pf = build_sparse_pf(self.qp, self.opts)
 
     def solve(self, b_loc=None, tol: Tolerances = Tolerances()) -> FetiResult:
         from ..core.detred import deterministic_mode
@@ -562,7 +687,16 @@ class FetiSolverSparse:
             nlp = qp.BE.nl
             b_pad = np.zeros((prob.ns, nlp))
             b_pad[:, : prob.nl] = prob.b_loc
-            qp = qp.replace(b=jnp.asarray(b_pad.reshape(-1)))
+            b_new = jnp.asarray(b_pad.reshape(-1))
+            if self.opts.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                b_new = jax.device_put(
+                    b_new,
+                    NamedSharding(self.opts.mesh,
+                                  P(tuple(self.opts.mesh.axis_names))),
+                )
+            qp = qp.replace(b=b_new)
         use_fast = (
             self._pf is not None
             and qp.cE is None
@@ -660,6 +794,19 @@ class FetiSolverSparse:
             )
             self._real_mask = jnp.asarray(real)
             self._counts_g = jnp.asarray(np.maximum(counts, 1.0))
+            if self.opts.mesh is not None:
+                # primal-shaped tables shard with the subdomains; the global
+                # counts replicate (the reassembly scatter-add psums)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                mesh = self.opts.mesh
+                axes = tuple(mesh.axis_names)
+                put = lambda x, *s: jax.device_put(
+                    x, NamedSharding(mesh, P(*s))
+                )
+                self._l2g_c = put(self._l2g_c, axes)
+                self._real_mask = put(self._real_mask, axes)
+                self._counts_g = put(self._counts_g)
         return self._l2g_c, self._real_mask, self._counts_g
 
     def _solve_fast(self, prob, qp, tol: Tolerances) -> FetiResult:

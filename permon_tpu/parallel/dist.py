@@ -66,8 +66,14 @@ def shard_qp(qp: QP, kplus: BlockDiagCholInv, mesh: Mesh, axis: str = "sd"):
 
     A = qp.A.replace(blocks=_put(qp.A.blocks, mesh, P(axis, None, None)))
     BE = shard_extension(qp.BE, mesh, axis)
+    BI = (
+        shard_extension(qp.BI, mesh, axis)
+        if isinstance(qp.BI, SubdomainExtension)
+        else qp.BI
+    )
     b = _put(qp.b, mesh, P(axis))  # flat (ns*nl,): contiguous whole subdomains
     cE = _put(qp.cE, mesh, P()) if qp.cE is not None else None
+    cI = _put(qp.cI, mesh, P()) if qp.cI is not None else None
     R = qp.R
     if R is not None:
         # nullspace basis rows live in the primal space
@@ -75,9 +81,106 @@ def shard_qp(qp: QP, kplus: BlockDiagCholInv, mesh: Mesh, axis: str = "sd"):
             cols=_put(R.cols, mesh, P(axis, None)),
             vals=_put(R.vals, mesh, P(axis, None)),
         )
-    qp_sh = qp.replace(A=A, BE=BE, b=b, cE=cE, R=R)
+    qp_sh = qp.replace(A=A, BE=BE, BI=BI, b=b, cE=cE, cI=cI, R=R)
     kplus_sh = kplus.replace(chols=_put(kplus.chols, mesh, P(axis, None, None)))
     return qp_sh, kplus_sh
+
+
+def shard_extension_sparse(B: SubdomainExtension, mesh: Mesh) -> SubdomainExtension:
+    """Mesh placement of a large-path extension operator.  The per-subdomain
+    triplet and the PRIMAL-major gather table (B' lambda: local gathers from
+    the replicated dual) shard over the subdomain axis; the DUAL-major gather
+    table is dropped — its rows gather from arbitrary primal dofs, which
+    under a sharded primal would force an all-gather of the multi-MB primal
+    vector per F application.  ``mv`` therefore takes the triplet path:
+    per-device scatter-add + the one psum (the reference's VecScatter-add,
+    extension.c:476-540)."""
+    axes = tuple(mesh.axis_names)
+    put = lambda x, *spec: _put(x, mesh, P(*spec))
+    B = B.replace(
+        rows=put(B.rows, axes, None),
+        cols=put(B.cols, axes, None),
+        vals=put(B.vals, axes, None),
+        gB_cols=None, gB_vals=None,
+    )
+    if B.gBt_rows is not None:
+        B = B.replace(
+            gBt_rows=put(B.gBt_rows, axes, None),
+            gBt_vals=put(B.gBt_vals, axes, None),
+        )
+    return B
+
+
+def shard_qp_sparse(qp: QP, kplus, mesh: Mesh, kplus_post=None):
+    """Place a LARGE-PATH TFETI QP (BlockDia stencil Hessian, band K+,
+    gather-table extension constraints — feti/large.py) on a device mesh:
+
+    - the (ns, ndiag, nlp) stencil data, the scan-major (nb, ns, NB, NB)
+      band Cholesky factors, the flat primal vectors and the extension
+      triplets shard over the subdomain axis (per-rank MUMPS factors +
+      zero-comm local solves, matinv.c:481-590);
+    - dual vectors, the coarse G and its GG' factor stay replicated (the
+      maximal -qppf_redundancy placement; redundancy GROUPS plug in via
+      ``redundant_projector`` on a two-level mesh);
+    - each dual operator application F = B K+ B' costs ONE psum over the
+      mesh (B's scatter-add reduction).
+
+    Works for 1-axis and 2-axis ('host', 'sd') meshes — subdomains shard
+    over the flattened device order.  Returns
+    ``(qp_sharded, kplus_sharded, kplus_post_sharded)``."""
+    from ..core.band import BandCholInv
+    from ..core.dia import BlockDia
+
+    axes = tuple(mesh.axis_names)
+    put = lambda x, *spec: _put(x, mesh, P(*spec))
+    assert isinstance(qp.A, BlockDia), "shard_qp_sparse expects a BlockDia Hessian"
+    ns = qp.A.ns
+    ndev = mesh.devices.size
+    assert ns % ndev == 0, f"ns={ns} not divisible by {ndev} devices"
+
+    def shard_blockdia(op):
+        return op.replace(data=put(op.data, axes, None, None))
+
+    def shard_band(kp):
+        if kp is None:
+            return None
+        assert isinstance(kp, BandCholInv)
+        out = kp.replace(
+            Dinv=put(kp.Dinv, None, axes, None, None),
+            F=put(kp.F, None, axes, None, None),
+        )
+        if kp.op is not None and isinstance(kp.op, BlockDia):
+            out = out.replace(op=shard_blockdia(kp.op))
+        return out
+
+    A = shard_blockdia(qp.A)
+    BE = shard_extension_sparse(qp.BE, mesh)
+    BI = shard_extension_sparse(qp.BI, mesh) if qp.BI is not None else None
+    b = put(qp.b, axes)  # flat (ns*nlp,): contiguous whole subdomains
+    cE = put(qp.cE) if qp.cE is not None else None
+    cI = put(qp.cI) if qp.cI is not None else None
+    R = qp.R
+    if R is not None:
+        # Ell rows live in the primal space: (ns*nlp, k)
+        R = R.replace(cols=put(R.cols, axes, None), vals=put(R.vals, axes, None))
+    qp_sh = qp.replace(A=A, BE=BE, BI=BI, b=b, cE=cE, cI=cI, R=R)
+    return qp_sh, shard_band(kplus), shard_band(kplus_post)
+
+
+def replicate_projector(pf, mesh: Mesh):
+    """Replicate a projector's (small) coarse-side arrays on every device of
+    the mesh — G is a (k, m) dual-space operator and the GG' factor is
+    (k, k); both ride along replicated like the reference's maximally
+    redundant coarse copies (qppf.c:282-333)."""
+    rep = lambda t: jax.tree_util.tree_map(
+        lambda x: _put(x, mesh, P()) if isinstance(x, jax.Array) else x, t
+    )
+    if pf.cp_dist is not None:
+        # the redundancy-group factor is deliberately SHARDED — replicate
+        # everything around it, leave its placement alone
+        cp = pf.cp_dist
+        return rep(pf.replace(cp_dist=None)).replace(cp_dist=cp)
+    return rep(pf)
 
 
 def feti_dual_apply_shard_map(B: SubdomainExtension, kplus: BlockDiagCholInv,

@@ -345,16 +345,24 @@ def shard_qp2(qp, kplus, mesh: Mesh):
     assert ns % ndev == 0, f"ns={ns} not divisible by {ndev} devices"
 
     A = qp.A.replace(blocks=put(qp.A.blocks, axes, None, None))
-    BE = qp.BE.replace(
-        rows=put(qp.BE.rows, axes, None),
-        cols=put(qp.BE.cols, axes, None),
-        vals=put(qp.BE.vals, axes, None),
+
+    def shard_ext(B):
+        return B.replace(
+            rows=put(B.rows, axes, None),
+            cols=put(B.cols, axes, None),
+            vals=put(B.vals, axes, None),
+        )
+
+    BE = shard_ext(qp.BE)
+    BI = (
+        shard_ext(qp.BI) if isinstance(qp.BI, SubdomainExtension) else qp.BI
     )
     b = put(qp.b, axes)
     cE = put(qp.cE) if qp.cE is not None else None
+    cI = put(qp.cI) if qp.cI is not None else None
     R = qp.R
     if R is not None:
         R = R.replace(cols=put(R.cols, axes, None), vals=put(R.vals, axes, None))
-    qp_sh = qp.replace(A=A, BE=BE, b=b, cE=cE, R=R)
+    qp_sh = qp.replace(A=A, BE=BE, BI=BI, b=b, cE=cE, cI=cI, R=R)
     kplus_sh = kplus.replace(chols=put(kplus.chols, axes, None, None))
     return qp_sh, kplus_sh

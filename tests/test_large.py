@@ -3,6 +3,8 @@ assembled system, iteration-count agreement with the dense path (projected
 pipeline is K+-invariant), mixed-precision factorization, and RCM reorder
 fusion."""
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -309,3 +311,197 @@ class TestFetiSolverSparse:
         # none (23 -> 39, dense path identical) — its payoff is the
         # elasticity/heterogeneous regime, same as the reference's PCDual
         assert int(r1.result.iterations) == int(r2.result.iterations)
+
+
+class TestShardedLargePath:
+    """The large path under a device mesh (round-4 headline): the band K+
+    factor scan batched over a SHARDED subdomain axis, the extension triplet
+    scatter-add + one psum per F application, the coarse projector
+    replicated (or redundancy-group distributed).  Iteration counts must
+    EQUAL the single-device solve in deterministic mode; nothing else about
+    the pipeline may change (reference per-rank layout:
+    matinv.c:481-590, qppf.c:182-333)."""
+
+    @pytest.fixture(scope="class")
+    def mesh8(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        from permon_tpu.parallel import make_mesh
+
+        return make_mesh(8)
+
+    @pytest.fixture(scope="class")
+    def ref_linear(self, prob):
+        return feti_solve_sparse(
+            prob,
+            FetiOptions(gluing="nonred", deterministic=True, coarse="sparse"),
+            tol=Tolerances(rtol=1e-6),
+        )
+
+    def test_linear_matches_single_device(self, prob, mesh8, ref_linear):
+        res = feti_solve_sparse(
+            prob,
+            FetiOptions(gluing="nonred", deterministic=True, coarse="sparse",
+                        mesh=mesh8),
+            tol=Tolerances(rtol=1e-6),
+        )
+        assert int(res.result.iterations) == int(ref_linear.result.iterations)
+        np.testing.assert_allclose(
+            res.x_global, ref_linear.x_global, atol=1e-7
+        )
+
+    def test_solver_class_fast_path_sharded(self, prob, mesh8, ref_linear):
+        from permon_tpu.feti.large import FetiSolverSparse
+
+        solver = FetiSolverSparse(
+            prob,
+            FetiOptions(gluing="nonred", deterministic=True, coarse="sparse",
+                        mesh=mesh8),
+        )
+        r1 = solver.solve(tol=Tolerances(rtol=1e-6))
+        assert int(r1.result.iterations) == int(ref_linear.result.iterations)
+        np.testing.assert_allclose(r1.x_global, ref_linear.x_global, atol=1e-7)
+        # reused factors + warm executable with a new rhs
+        r2 = solver.solve(b_loc=prob.b_loc * 2.0, tol=Tolerances(rtol=1e-6))
+        np.testing.assert_allclose(
+            r2.x_global, 2.0 * ref_linear.x_global, atol=1e-6
+        )
+
+    def test_sharded_layout(self, prob, mesh8):
+        """The factor arrays really shard: each device holds 1/8 of the
+        subdomain axis of Dinv/F and of the stencil data."""
+        from permon_tpu.feti.large import assemble_qp_sparse
+        from permon_tpu.parallel import shard_qp_sparse
+
+        qp, kplus, NB = assemble_qp_sparse(
+            prob, FetiOptions(gluing="nonred")
+        )
+        qp_sh, kplus_sh, _ = shard_qp_sparse(qp, kplus, mesh8)
+        assert len(kplus_sh.Dinv.sharding.device_set) == 8
+        shard_shapes = {
+            s.data.shape for s in kplus_sh.Dinv.addressable_shards
+        }
+        nb, ns, NBs, _ = kplus_sh.Dinv.shape
+        assert shard_shapes == {(nb, ns // 8, NBs, NBs)}
+        assert len(qp_sh.A.data.sharding.device_set) == 8
+        # the dual-major gather table is dropped under the mesh (it would
+        # all-gather the sharded primal); the primal-major one shards
+        assert qp_sh.BE.gB_cols is None
+        assert qp_sh.BE.gBt_rows is not None
+
+    def test_contact_matches_single_device(self, mesh8):
+        from examples.feti_large import build_obstacle
+        from permon_tpu.feti.large import FetiSolverSparse
+
+        prob, BI, cI, cap = build_obstacle((15,) * 3, (2,) * 3)
+        tol = Tolerances(rtol=1e-5)
+        base = dict(gluing="nonred", deterministic=True, coarse="sparse")
+        r0 = FetiSolverSparse(
+            prob, FetiOptions(**base), BI=BI, cI=cI
+        ).solve(tol=tol)
+        r1 = FetiSolverSparse(
+            prob, FetiOptions(**base, mesh=mesh8), BI=BI, cI=cI
+        ).solve(tol=tol)
+        assert int(r1.result.iterations) == int(r0.result.iterations)
+        assert int(r1.result.inner_iterations) == int(
+            r0.result.inner_iterations
+        )
+        np.testing.assert_allclose(r1.x_global, r0.x_global, atol=1e-8)
+
+    def test_redundancy_groups_two_level_mesh(self, mesh8):
+        """qppf_redundancy on a ('host', 'sd') mesh: the GG' factor sharded
+        over the within-group axis, one distributed copy per host group —
+        counts and solution match full replication (-qppf_redundancy,
+        qppf.c:182-333)."""
+        from examples.feti_large import build_obstacle
+        from permon_tpu.feti.large import FetiSolverSparse
+        from permon_tpu.parallel import make_mesh2
+
+        prob, BI, cI, cap = build_obstacle((15,) * 3, (2,) * 3)
+        tol = Tolerances(rtol=1e-5)
+        base = dict(gluing="nonred", deterministic=True, coarse="sparse")
+        r0 = FetiSolverSparse(
+            prob, FetiOptions(**base), BI=BI, cI=cI
+        ).solve(tol=tol)
+        mesh2 = make_mesh2((2, 4))
+        r2 = FetiSolverSparse(
+            prob, FetiOptions(**base, mesh=mesh2, qppf_redundancy=True),
+            BI=BI, cI=cI,
+        ).solve(tol=tol)
+        assert int(r2.result.iterations) == int(r0.result.iterations)
+        np.testing.assert_allclose(r2.x_global, r0.x_global, atol=1e-6)
+
+
+class TestLargePathOptionParity:
+    """FetiOptions behave identically (or refuse loudly) across the dense
+    and sparse facades (VERDICT r3 missing #3/#4)."""
+
+    def test_project_false_raises(self, prob):
+        with pytest.raises(NotImplementedError, match="project"):
+            feti_solve_sparse(prob, FetiOptions(project=False))
+
+    def test_orth_g_raises(self, prob):
+        with pytest.raises(NotImplementedError, match="orth_G"):
+            feti_solve_sparse(prob, FetiOptions(orth_G="gs"))
+
+    def test_dirichlet_in_hessian_matches_by_b(self):
+        """dirichlet_by_B=False (classical FETI: symmetric elimination in K,
+        touched blocks grounded) must reproduce the TFETI by-B solution AND
+        the dense path's dir-in-hess solution (qpfeti.c:153-312)."""
+        from examples.feti_ex1 import build
+        from permon_tpu.feti.solve import feti_solve
+
+        ns, ne = 4, 6
+        prob_d = build(ns, ne)
+        tol = Tolerances(rtol=1e-8)
+        sprob = SparseFetiProblem(
+            K_blocks=[sp.csr_matrix(prob_d.K_blocks[s]) for s in range(ns)],
+            b_loc=prob_d.b_loc, l2g=prob_d.l2g,
+            floating=np.ones(ns, dtype=bool),
+            dirichlet=prob_d.dirichlet,
+        )
+        r_byB = feti_solve_sparse(
+            sprob, FetiOptions(gluing="nonred"), tol=tol
+        )
+        r_inK = feti_solve_sparse(
+            sprob, FetiOptions(gluing="nonred", dirichlet_by_B=False), tol=tol
+        )
+        r_dense = feti_solve(
+            prob_d, FetiOptions(gluing="nonred", dirichlet_by_B=False),
+            tol=tol,
+        )
+        np.testing.assert_allclose(r_inK.x_global, r_byB.x_global, atol=1e-7)
+        np.testing.assert_allclose(
+            r_inK.x_global, r_dense.x_global, atol=1e-7
+        )
+        # Dirichlet rows actually hold: boundary values are exact
+        assert abs(r_inK.x_global[0]) < 1e-10
+        assert abs(r_inK.x_global[-1]) < 1e-10
+
+    def test_dirichlet_in_hessian_values(self):
+        """Nonzero Dirichlet values through the sparse dir-in-hess path."""
+        from examples.feti_ex1 import build
+
+        ns, ne = 4, 6
+        prob_d = build(ns, ne)
+        vals = np.array([0.5, -0.25])
+        sprob = SparseFetiProblem(
+            K_blocks=[sp.csr_matrix(prob_d.K_blocks[s]) for s in range(ns)],
+            b_loc=prob_d.b_loc, l2g=prob_d.l2g,
+            floating=np.ones(ns, dtype=bool),
+            dirichlet=prob_d.dirichlet, dirichlet_values=vals,
+        )
+        tol = Tolerances(rtol=1e-9)
+        r_byB = feti_solve_sparse(
+            dataclasses.replace(sprob), FetiOptions(gluing="nonred"), tol=tol
+        )
+        r_inK = feti_solve_sparse(
+            sprob, FetiOptions(gluing="nonred", dirichlet_by_B=False), tol=tol
+        )
+        np.testing.assert_allclose(r_inK.x_global[0], 0.5, atol=1e-8)
+        np.testing.assert_allclose(r_inK.x_global[-1], -0.25, atol=1e-8)
+        np.testing.assert_allclose(
+            r_inK.x_global, r_byB.x_global, atol=1e-6
+        )

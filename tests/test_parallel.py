@@ -160,3 +160,72 @@ class TestLeafSpaceSharded:
         res_ref = feti_solve(prob, FetiOptions(gluing="nonred"))
         res_thr = feti_solve(prob, FetiOptions(gluing="nonred", throughput=True))
         np.testing.assert_allclose(res_thr.x_global, res_ref.x_global, atol=1e-9)
+
+
+class TestShardedSmalbe:
+    """Multi-device SMALBE (box-constrained SMALXE around MPRGP): the dense
+    contact problem under the flat 8-device mesh and the (2, 4) two-level
+    ('host', 'sd') mesh — exactly where sharding bugs would hide (box
+    projections + psum dots + projector inside one augmented-Lagrangian
+    loop).  Deterministic mode pins the reductions, so the sharded outer
+    AND inner iteration counts must EQUAL the single-device run."""
+
+    def _run_sharded(self, prob, BI, cI, opts, tol, shard_fn, mesh):
+        import jax.numpy as jnp
+
+        from permon_tpu.core.detred import deterministic_mode
+        from permon_tpu.solvers.smalxe import smalxe
+
+        qp, Kb, fixed, nb = assemble_qp(prob, opts)
+        qp = qp.replace(BI=BI, cI=jnp.asarray(cI))
+        kplus = make_blockdiag_kplus(Kb, fixed, prob, nb)
+        qp_sh, kplus_sh = shard_fn(qp, kplus, mesh)
+        with deterministic_mode(True):
+            steps = []
+            dual, post_d = dualize(qp_sh, kplus=kplus_sh)
+            steps.append((dual, post_d))
+            cur = dual
+            if cur.cE is not None:
+                cur, post_h = homogenize_eq(cur)
+                steps.append((cur, post_h))
+            cur, post_p = enforce_eq_by_projector(cur)
+            steps.append((cur, post_p))
+            res = smalxe(cur, opts=opts.smalxe, tol=tol)
+            sol = compose(steps)(
+                Solution(x=res.x, Bt_lambda=getattr(res, "Bt_lambda", None))
+            )
+        return res, sol
+
+    @pytest.fixture(scope="class")
+    def contact(self, eight_devices):
+        from examples.feti_contact import build
+
+        prob, BI, cI, lb = build(ns=8, ne=12)
+        opts = FetiOptions(gluing="nonred", deterministic=True)
+        tol = Tolerances(rtol=1e-6)
+        ref = feti_solve(prob, opts, BI=BI, cI=cI, tol=tol)
+        return prob, BI, cI, opts, tol, ref
+
+    def test_flat_mesh_matches_single_device(self, contact):
+        prob, BI, cI, opts, tol, ref = contact
+        res, sol = self._run_sharded(
+            prob, BI, cI, opts, tol, shard_qp, make_mesh(8)
+        )
+        assert int(res.iterations) == int(ref.result.iterations)
+        assert int(res.inner_iterations) == int(ref.result.inner_iterations)
+        np.testing.assert_allclose(
+            np.asarray(sol.x), np.asarray(ref.u_decomposed), atol=1e-10
+        )
+
+    def test_two_level_mesh_matches_single_device(self, contact):
+        from permon_tpu.parallel import make_mesh2, shard_qp2
+
+        prob, BI, cI, opts, tol, ref = contact
+        res, sol = self._run_sharded(
+            prob, BI, cI, opts, tol, shard_qp2, make_mesh2((2, 4))
+        )
+        assert int(res.iterations) == int(ref.result.iterations)
+        assert int(res.inner_iterations) == int(ref.result.inner_iterations)
+        np.testing.assert_allclose(
+            np.asarray(sol.x), np.asarray(ref.u_decomposed), atol=1e-10
+        )
