@@ -341,10 +341,19 @@ def main():
 
         cpu = jax.devices("cpu")[0]
         prob_c, BI_c, cI_c, _lb = build_contact(ns=16, ne=64)
-        for thr, key in ((False, "contact_row_ms"), (True, "contact_leaf_ms")):
+        for thr, prec, key in (
+            (False, "f64", "contact_row_ms"),
+            (True, "f64", "contact_leaf_ms"),
+            # round 4: throughput + precision compose — f32 leaf STATE with
+            # promoted fixed-tree f64 dots (counts shift by a few; pinned in
+            # tests/test_precision.py)
+            (True, "mixed", "contact_leaf_mixed_ms"),
+        ):
             with jax.default_device(cpu):
                 qp_c, sm_c, _sls = prepare_contact_children(
-                    prob_c, FetiOptions(gluing="nonred", throughput=thr),
+                    prob_c,
+                    FetiOptions(gluing="nonred", throughput=thr,
+                                precision=prec),
                     BI_c, cI_c,
                 )
             qp_c = jax.device_put(qp_c, dev)

@@ -25,9 +25,11 @@ def max_eigenvalue(A, v0=None, tol: float = 1e-4, maxits: int = 50):
     (permonmatutils.c:474-475). Returns a scalar jax array.
     """
     n = A.shape[1]
-    dtype = jnp.result_type(float)
     if v0 is None:
+        dtype = jnp.result_type(float)
         v0 = jnp.ones(n, dtype=dtype)
+    else:
+        dtype = jnp.asarray(v0).dtype  # run at the iterate's precision
 
     def cond(carry):
         i, v, lam, done = carry

@@ -70,10 +70,13 @@ class FetiOptions:
     #: applies on TPU at the cost of a denser setup; the f64 parity tests
     #: keep the triangular-solve path (default)
     throughput: bool = False
-    #: precision policy for the dual operator F = B K+ B' (core/precision.py):
-    #: 'f64' (default, exact parity), 'mixed' (f32 matvec + f64 reductions),
-    #: 'f32'.  The coarse projector stays f64 either way so dual iterates
-    #: remain in the constraint null space to full accuracy.
+    #: precision policy (core/precision.py): 'f64' (default, exact parity);
+    #: 'mixed' — on the row-space path f32 OPERATOR storage behind f64
+    #: vectors (exact iteration parity), on the throughput/leaf path the
+    #: whole-QP policy: f32 leaf STATE with promoted fixed-tree f64 dots
+    #: (fast; counts shift by a few, pinned in tests/test_precision.py);
+    #: 'f32'.  The coarse projector stays f64 in every policy so dual
+    #: iterates remain in the constraint null space to full accuracy.
     precision: str = "f64"
     #: bucket heterogeneous subdomain sizes in the K+ factorization
     #: (core/factor.py:RaggedBlockDiagCholInv) instead of padding to nl_max
@@ -423,7 +426,6 @@ def _feti_solve_body(
     # to leaf space.
     use_leaf = (
         opts.throughput
-        and opts.precision == "f64"
         and opts.orth_G is None
         and isinstance(qp.BE, SubdomainExtension)
         and (qp.BI is None or isinstance(qp.BI, SubdomainExtension))
@@ -447,31 +449,50 @@ def _feti_solve_body(
         leaf, sls = leaf_dual_qp(dual, B_full, kplus, mesh=opts.mesh)
         if leaf.cE is not None:
             leaf, _ = homogenize_eq(leaf)
+        leaf_f64 = leaf
+        if opts.precision != "f64":
+            # throughput + precision compose (round 4): the leaf ITERATION
+            # runs the whole-QP policy — f32 leaf state (iterates, axpys,
+            # gradient splits) with, under 'mixed', every solver dot/norm
+            # promoted to the f64 fixed tree (dots_dtype; qp_with_precision).
+            # The coarse projector, the SPECTRAL ESTIMATES (see
+            # leaf_smalxe_opts) and the row-space post chain stay f64.
+            # Counts are pinned exact-or-one-off in tests/test_precision.py.
+            leaf = leaf.with_precision(opts.precision)
         pc_leaf = None
         if opts.pc_dual == "lumped":
-            pc_leaf = lumped_pc_leaf(B_full, prob.K_blocks, sls).mv
+            pc_op = lumped_pc_leaf(B_full, prob.K_blocks, sls)
+            if opts.precision != "f64":
+                from ..core.precision import cast_floats as _cast
+
+                pc_op = _cast(pc_op, jnp.float32)
+            pc_leaf = pc_op.mv
 
         def leaf_smalxe_opts(lq):
             """SMALXE options with the spectral estimates precomputed on the
             leaf QP ACTUALLY being solved (projected or not), from the
             CONSISTENT all-ones start — so the power-method trajectory (and
             hence M1/rho/alpha, and hence iteration counts) matches the
-            row-space solve."""
+            row-space solve.  The estimates ALWAYS run on the f64 operators
+            (``leaf_f64``): M1/rho/alpha derive from them, and an f32 power
+            method would shift the whole augmented-Lagrangian schedule —
+            measured 41/84 vs f64's 34/91 outer/inner on the contact
+            example, vs exact-or-one-off with f64 estimates."""
             if lq.BE is None:
                 return opts.smalxe
-            v0 = sls.lift(jnp.ones(dual.b.shape[0], dtype=lq.b.dtype))
+            v0 = sls.lift(jnp.ones(dual.b.shape[0], dtype=leaf_f64.b.dtype))
             sm = opts.smalxe
             if sm.maxeig is None and (
                 (not sm.M1_direct) or (not sm.rho_direct) or sm.inject_maxeig
             ):
-                me = max_eigenvalue(lq.A, v0=v0, tol=sm.maxeig_tol,
+                me = max_eigenvalue(leaf_f64.A, v0=v0, tol=sm.maxeig_tol,
                                     maxits=sm.maxeig_iter)
                 sm = _dc.replace(sm, maxeig=me)
             if sm.maxeig_inner is None and not sm.inject_maxeig:
-                rho0 = (jnp.asarray(sm.rho, lq.b.dtype) if sm.rho_direct
-                        else sm.rho * jnp.asarray(sm.maxeig, lq.b.dtype))
+                rho0 = (jnp.asarray(sm.rho, v0.dtype) if sm.rho_direct
+                        else sm.rho * jnp.asarray(sm.maxeig, v0.dtype))
                 mi = max_eigenvalue(
-                    _Pen(a=lq.A, b=lq.BE, rho=rho0), v0=v0,
+                    _Pen(a=leaf_f64.A, b=leaf_f64.BE, rho=rho0), v0=v0,
                     tol=sm.maxeig_tol, maxits=sm.maxeig_iter,
                 )
                 sm = _dc.replace(sm, maxeig_inner=mi)
@@ -499,7 +520,10 @@ def _feti_solve_body(
         steps.append((cur, post_p))
         if use_leaf:
             leaf_pf = leaf.pf
+            same = leaf_f64 is leaf
             leaf, _ = enforce_eq_by_projector(leaf)
+            # keep the f64 estimate twin in step with the projection
+            leaf_f64 = leaf if same else enforce_eq_by_projector(leaf_f64)[0]
         if cur.box is None and cur.BE is None:
             if use_leaf:
                 # leaf-space projected (optionally lumped-preconditioned) CG
@@ -585,4 +609,9 @@ def prepare_contact_children(prob, opts, BI, cI, kplus=None):
             sm = _dc.replace(sm, maxeig_inner=max_eigenvalue(
                 _Pen(a=leaf.A, b=leaf.BE, rho=rho0), v0=v0,
                 tol=sm.maxeig_tol, maxits=sm.maxeig_iter))
+    if opts.precision != "f64":
+        # f32 leaf state (+ promoted f64 dots under 'mixed'); the spectral
+        # estimates above were computed on the f64 operators first — see
+        # _feti_solve_body's leaf_smalxe_opts for why that matters
+        leaf = leaf.with_precision(opts.precision)
     return leaf, sm, sls

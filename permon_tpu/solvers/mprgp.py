@@ -171,7 +171,9 @@ def mprgp(
             maxeig = (
                 jnp.asarray(opts.maxeig, dtype)
                 if opts.maxeig is not None
-                else max_eigenvalue(A, tol=opts.maxeig_tol, maxits=opts.maxeig_iter)
+                else max_eigenvalue(A, v0=jnp.ones(A.shape[1], dtype),
+                                    tol=opts.maxeig_tol,
+                                    maxits=opts.maxeig_iter)
             )
         maxeig_val = jnp.asarray(maxeig, dtype)
         alpha_init = jnp.asarray(alpha_user / maxeig_val, dtype)

@@ -254,7 +254,10 @@ def smalxe(
     if opts.maxeig is not None:
         maxeig_A = jnp.asarray(opts.maxeig, dtype)
     elif need_maxeig:
-        maxeig_A = max_eigenvalue(A, tol=opts.maxeig_tol, maxits=opts.maxeig_iter)
+        maxeig_A = max_eigenvalue(
+            A, v0=jnp.ones(A.shape[1], dtype), tol=opts.maxeig_tol,
+            maxits=opts.maxeig_iter,
+        )
     else:
         maxeig_A = jnp.asarray(0.0, dtype)
     M1_init = jnp.asarray(opts.M1, dtype) if opts.M1_direct else opts.M1 * maxeig_A
@@ -273,7 +276,8 @@ def smalxe(
         maxeig_inner0 = jnp.maximum(rho_init, maxeig_A)
     else:
         maxeig_inner0 = max_eigenvalue(
-            pen0, tol=opts.maxeig_tol, maxits=opts.maxeig_iter
+            pen0, v0=jnp.ones(A.shape[1], dtype), tol=opts.maxeig_tol,
+            maxits=opts.maxeig_iter,
         )
     alpha_user = 2.0 if opts.inner.alpha_user is None else opts.inner.alpha_user
     alpha0 = (

@@ -81,3 +81,77 @@ def test_cast_floats_keeps_indices():
     lo = cast_floats(op, jnp.float32)
     assert lo.vals.dtype == jnp.float32
     assert lo.cols.dtype == op.cols.dtype  # index arrays untouched
+
+
+class TestLeafPrecision:
+    """Round 4: throughput (scaled-leaf) + precision compose.  The leaf
+    ITERATION runs the whole-QP f32-state policy (promoted fixed-tree f64
+    dots under 'mixed'); the coarse projector, the spectral estimates and
+    the row-space post chain stay f64.  Counts are PINNED (deterministic
+    dots) but not equal to f64 — the f32 active-set/CG decisions shift the
+    trajectory by a few iterations on the FETI duals; the contract is
+    same-reason convergence + solution agreement at the policy's accuracy
+    (PARITY.md)."""
+
+    def test_contact_leaf_mixed(self):
+        from examples.feti_contact import build
+        from permon_tpu.feti import FetiOptions, feti_solve
+
+        prob, BI, cI, lb = build(ns=4, ne=25)
+        tol = Tolerances(rtol=1e-6)
+        r64 = feti_solve(
+            prob, FetiOptions(gluing="nonred", throughput=True),
+            BI=BI, cI=cI, tol=tol,
+        )
+        rmx = feti_solve(
+            prob,
+            FetiOptions(gluing="nonred", throughput=True, precision="mixed"),
+            BI=BI, cI=cI, tol=tol,
+        )
+        assert int(r64.result.reason) == 2
+        assert int(rmx.result.reason) == 2
+        # f64 leaf: exact parity with the row-space pipeline (34/91 outer/
+        # inner on this example); mixed leaf pinned within a narrow band
+        it64, in64 = (int(r64.result.iterations),
+                      int(r64.result.inner_iterations))
+        itmx, inmx = (int(rmx.result.iterations),
+                      int(rmx.result.inner_iterations))
+        assert (it64, in64) == (34, 91), (it64, in64)
+        assert abs(itmx - 38) <= 2 and abs(inmx - 89) <= 4, (itmx, inmx)
+        np.testing.assert_allclose(rmx.x_global, r64.x_global, atol=1e-4)
+        assert (rmx.x_global >= lb - 5e-4).all()
+
+    def test_contact_leaf_mixed_state_is_f32_with_f64_dots(self):
+        from examples.feti_contact import build
+        from permon_tpu.feti import FetiOptions
+        from permon_tpu.feti.solve import prepare_contact_children
+
+        prob, BI, cI, _lb = build(ns=4, ne=25)
+        leaf, sm, sls = prepare_contact_children(
+            prob,
+            FetiOptions(gluing="nonred", throughput=True, precision="mixed"),
+            BI, cI,
+        )
+        assert sls is not None  # the leaf path is actually taken
+        assert leaf.b.dtype == jnp.float32  # f32 state
+        assert jnp.dtype(leaf.dots_dtype) == jnp.float64  # promoted dots
+        # spectral estimates were computed on the f64 operators
+        assert jnp.asarray(sm.maxeig).dtype == jnp.float64
+
+    def test_linear_leaf_mixed(self):
+        from examples.feti_ex71 import build as build71
+        from permon_tpu.feti import FetiOptions, feti_solve
+
+        prob = build71(cells=(8, 8, 8), grid=(2, 2, 2))
+        tol = Tolerances(rtol=1e-6)
+        r64 = feti_solve(
+            prob, FetiOptions(gluing="nonred", throughput=True), tol=tol
+        )
+        rmx = feti_solve(
+            prob,
+            FetiOptions(gluing="nonred", throughput=True, precision="mixed"),
+            tol=tol,
+        )
+        assert int(rmx.result.reason) == 2
+        assert abs(int(rmx.result.iterations) - int(r64.result.iterations)) <= 4
+        np.testing.assert_allclose(rmx.x_global, r64.x_global, atol=5e-4)
