@@ -13,6 +13,8 @@
 // subdomain index (the reference's rank order, which fixes gluing signs).
 
 #include <algorithm>
+#include <array>
+#include <map>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -265,6 +267,120 @@ void sell_greedy(const int64_t* indptr, const int64_t* indices, int64_t m,
   }
 }
 
+// Drain compaction over the greedy schedule: within each (tile, window)
+// group, sweep the thin rounds and migrate every entry that fits into a
+// fuller round (slot free, S[i,c] unset-or-equal); rounds drained to zero
+// die.  First-fit leaves ~1 excess round per (tile, window) on wiggly-band
+// matrices (measured on the RCM 3-D Laplacian: eff 0.622 greedy vs a
+// 0.840 slot/consistency-aware lower bound; draining converges at 0.721 —
+// the residual gap needs relocation CHAINS, not single moves).  A few
+// sweeps reach the fixpoint; entries are identified by nnz index p so the
+// final C/V fill-in below stays driven by `assign`.
+void sell_compact(const int64_t* indptr, const int64_t* indices, int64_t m,
+                  std::vector<int32_t>& assign,
+                  std::vector<SellRound>& rounds) {
+  int64_t nnz = indptr[m];
+  int64_t nr = (int64_t)rounds.size();
+  // per-round entry lists + S refcounts (per (i,c): count of users of the
+  // single s currently set there)
+  std::vector<std::vector<int64_t>> ents(nr);
+  std::vector<std::array<int16_t, 1024>> ref(nr);
+  for (auto& a : ref) a.fill(0);
+  std::vector<int64_t> row_of(nnz);
+  for (int64_t g = 0; g < m; ++g)
+    for (int64_t p = indptr[g]; p < indptr[g + 1]; ++p) row_of[p] = g;
+  for (int64_t p = 0; p < nnz; ++p) {
+    int32_t r = assign[p];
+    if (r < 0) continue;
+    ents[r].push_back(p);
+    int64_t rloc = row_of[p] % 1024;
+    int ic = (int)(rloc / 128) * 128 + (int)(indices[p] % 128);
+    ref[r][ic]++;
+  }
+  // group rounds by (tile, window)
+  std::map<std::pair<int32_t, int32_t>, std::vector<int32_t>> groups;
+  for (int64_t r = 0; r < nr; ++r)
+    groups[{rounds[r].tile, rounds[r].win}].push_back((int32_t)r);
+  std::vector<int32_t> tile_rounds(0);
+  std::vector<int32_t> live_per_tile;
+  {
+    int32_t max_tile = 0;
+    for (auto& R : rounds) max_tile = std::max(max_tile, R.tile);
+    live_per_tile.assign(max_tile + 1, 0);
+    for (auto& R : rounds) live_per_tile[R.tile]++;
+  }
+  std::vector<char> dead(nr, 0);
+  for (int sweep = 0; sweep < 8; ++sweep) {
+    int64_t killed = 0;
+    for (auto& kv : groups) {
+      auto& rl = kv.second;
+      // ascending fill: drain thin rounds into fuller ones
+      std::sort(rl.begin(), rl.end(), [&](int32_t a, int32_t b) {
+        return ents[a].size() < ents[b].size();
+      });
+      for (size_t a = 0; a < rl.size(); ++a) {
+        int32_t src = rl[a];
+        if (dead[src]) continue;
+        std::vector<int32_t> tgts;
+        for (int32_t r : rl)
+          if (r != src && !dead[r]) tgts.push_back(r);
+        std::sort(tgts.begin(), tgts.end(), [&](int32_t x, int32_t y) {
+          return ents[x].size() > ents[y].size();
+        });
+        if (tgts.empty()) continue;
+        auto& src_ents = ents[src];
+        for (size_t e = 0; e < src_ents.size();) {
+          int64_t p = src_ents[e];
+          int64_t rloc = row_of[p] % 1024;
+          int i = (int)(rloc / 128), j = (int)(rloc % 128);
+          int c = (int)(indices[p] % 128);
+          int64_t w = rounds[src].win;  // start block of this group
+          int s = (int)((indices[p] - (w << 10)) / 128);
+          bool moved = false;
+          for (int32_t tgt : tgts) {
+            SellRound& T = rounds[tgt];
+            if (T.used[i * 128 + j]) continue;
+            int16_t cur = T.S[i * 128 + c];
+            if (cur != -1 && cur != (int16_t)s) continue;
+            // move p: src -> tgt
+            T.S[i * 128 + c] = (int16_t)s;
+            T.used[i * 128 + j] = true;
+            ref[tgt][i * 128 + c]++;
+            ents[tgt].push_back(p);
+            assign[p] = tgt;
+            SellRound& Ssrc = rounds[src];
+            Ssrc.used[i * 128 + j] = false;
+            if (--ref[src][i * 128 + c] == 0) Ssrc.S[i * 128 + c] = -1;
+            src_ents[e] = src_ents.back();
+            src_ents.pop_back();
+            moved = true;
+            break;
+          }
+          if (!moved) ++e;
+        }
+        if (src_ents.empty() && live_per_tile[rounds[src].tile] > 1) {
+          dead[src] = 1;
+          live_per_tile[rounds[src].tile]--;
+          killed++;
+        }
+      }
+    }
+    if (killed == 0) break;
+  }
+  // rebuild the round list (tile-sorted order is preserved: groups are
+  // visited in (tile, win) order and survivors keep their relative order)
+  std::vector<SellRound> out;
+  std::vector<int32_t> remap(nr, -1);
+  for (int64_t r = 0; r < nr; ++r)
+    if (!dead[r]) {
+      remap[r] = (int32_t)out.size();
+      out.push_back(rounds[r]);
+    }
+  for (int64_t p = 0; p < nnz; ++p)
+    if (assign[p] >= 0) assign[p] = remap[assign[p]];
+  rounds.swap(out);
+}
+
 }  // namespace
 
 extern "C" {
@@ -280,6 +396,7 @@ int64_t permon_sell_schedule(const int64_t* indptr, const int64_t* indices,
   std::vector<int32_t> assign;
   std::vector<SellRound> rounds;
   sell_greedy(indptr, indices, m, ntiles, win, assign, rounds);
+  sell_compact(indptr, indices, m, assign, rounds);
   int64_t nr = (int64_t)rounds.size();
   if (!wstart) return nr;
   for (int64_t r = 0; r < nr; ++r) {

@@ -36,12 +36,19 @@ Slot efficiency (nnz / (rounds * 1024)) is what sets the throughput: the
 kernel streams 6 bytes per slot from HBM — S and C packed into ONE int16
 (code = s * 128 + c) plus an f32 value — so the HBM-bound rate is
 eff * BW / 6 B.  Wider windows raise eff directly (fewer (tile, window)
-pairs for the same nonzeros: on the RCM-ordered 3-D Laplacian the
-structural bound is 0.55 / 0.70 / 0.82 at win = 1024 / 2048 / 4096) at the
-cost of (win/1024) sublane-gathers per round; ``win='auto'`` schedules the
-candidates and picks the best predicted rate.  The XLA path computes the
-identical round algebra with plain gathers (correct everywhere, slow on
-TPU) and is the f64 / CPU fallback.
+pairs for the same nonzeros) at the cost of (win/1024) sublane-gathers per
+round; ``win='auto'`` schedules the candidates and picks the best
+predicted rate.  The native scheduler follows the greedy pass with a
+DRAIN-COMPACTION sweep (native/permon_host.cpp sell_compact): entries of
+thin rounds migrate into fuller compatible rounds and drained rounds die —
+on the RCM 3-D Laplacian this lifts eff 0.622 -> 0.715 at win = 2048
+(54.3 GnnZ/s on one v5e) against an exact slot/consistency-aware lower
+bound of 0.840 (= the window-cover bound; the S-consistency constraint is
+binding nowhere on that matrix — scripts/sell_bound.py computes both).
+The python fallback scheduler keeps the plain greedy (correctness
+identical, efficiency lower).  The XLA path computes the identical round
+algebra with plain gathers (correct everywhere, slow on TPU) and is the
+f64 / CPU fallback.
 """
 
 from __future__ import annotations
