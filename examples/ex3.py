@@ -58,7 +58,9 @@ def main(n: int = 100, view: bool = True, empty_nullsp: bool = False, **solver_k
         # chain KKT: dual (child) first, then the primal (parent), mirroring
         # -qp_chain_view_kkt output order
         print(view_kkt(dual, res.x, g=res.g))
-        print(view_kkt(qp, sol.x, lambda_I=sol.lambda_I))
+        # merged_label: the dualize postSolve populates the MERGED lambda in
+        # the reference, so its KKT header reads "+ B'*lambda" (qp.c:723-727)
+        print(view_kkt(qp, sol.x, lambda_I=sol.lambda_I, merged_label=True))
     return qp, dual, res, sol
 
 

@@ -405,7 +405,13 @@ def mprgp(
     )
     st = jax.lax.while_loop(lambda s: s.reason == 0, body, st0)
     return MPRGPResult(
-        x=st.x, reason=st.reason, iterations=st.it, rnorm=st.rnorm,
+        # the returned iterate is feasible BY CONSTRUCTION in the reference
+        # (every MPGP step lands in the box); our CG/proportioning axpys can
+        # leak ~1e-20 past an active bound in fp, so project at return —
+        # a <=1-ulp change that restores ||min(x-lb,0)|| = 0 exactly (the
+        # committed ex3 KKT digits print 0.00e+00 there)
+        x=qp.box.project(st.x) if qp.box is not None else st.x,
+        reason=st.reason, iterations=st.it, rnorm=st.rnorm,
         nmv=st.nmv, ncg=st.ncg, nexp=st.nexp, nprop=st.nprop,
         nfinc=st.nfinc, nfall=st.nfall, g=st.g, alpha=st.alpha,
         rnorm_history=st.hist if nh else None, aux=st.aux,

@@ -97,12 +97,16 @@ def view_history(result, solver: str = "QPS") -> str:
     )
 
 
-def view_kkt(qp: QP, x, g=None, lambda_E=None, lambda_I=None) -> str:
+def view_kkt(qp: QP, x, g=None, lambda_E=None, lambda_I=None,
+             merged_label: bool = False) -> str:
     """KKT residual report for a solved QP.
 
     ``g`` is the final gradient A x - b (+ B'lambda if the solver worked on the
     Lagrangian); box multipliers are recovered from it as in
-    QPComputeMissingBoxMultipliers (qp.c:829-889).
+    QPComputeMissingBoxMultipliers (qp.c:829-889).  ``merged_label`` prints
+    the constraint term as `` + B'*lambda`` — the reference's label when the
+    MERGED multiplier is valid (a dualize postSolve populated qp->lambda,
+    qp.c:723-727), which is how the committed ex3 output reads.
     """
     lines: List[str] = []
     b = qp.b
@@ -121,12 +125,19 @@ def view_kkt(qp: QP, x, g=None, lambda_E=None, lambda_I=None) -> str:
         if qp.box.has_ub:
             r = r + lub
             kkt_name += " + lambda_ub"
+    had_constraint = False
     if lambda_E is not None and qp.BE is not None:
         r = r + qp.BE.rmv(lambda_E)
-        kkt_name += " + BE'*lambda_E"
+        had_constraint = True
+        if not merged_label:
+            kkt_name += " + BE'*lambda_E"
     if lambda_I is not None and qp.BI is not None:
         r = r + qp.BI.rmv(lambda_I)
-        kkt_name += " + BI'*lambda_I"
+        had_constraint = True
+        if not merged_label:
+            kkt_name += " + BI'*lambda_I"
+    if merged_label and had_constraint:
+        kkt_name += " + B'*lambda"
 
     norm = jnp.linalg.norm(r)
     lines.append(f"r = ||{kkt_name}|| = {_fmt(norm)}    rO/||b|| = {_fmt(norm / normb)}")

@@ -106,3 +106,71 @@ class TestResidualHistory:
         assert its >= 1
         assert np.isfinite(h[:its]).all()
         assert h[its - 1] == pytest.approx(float(res.rnorm), rel=1e-12)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_OUT), reason="reference not present")
+class TestLiteralOutputDiffRound4:
+    """Round 4: the verbatim oracle extended to ex2, ex3 and the ex1
+    expansion/steplength variants."""
+
+    def _generate(self, mainfn, **kw):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            mainfn(view=True, **kw)
+        return _filtered(buf.getvalue())
+
+    def _expected(self, name):
+        with open(os.path.join(REF_OUT, name)) as f:
+            return [l.rstrip("\n") for l in f if l.strip()]
+
+    def test_ex2_matches_committed_out_verbatim(self):
+        """The committed infinite-true variant (full-length lb with -inf
+        entries — exactly our representation).  The infinite-false file
+        differs only in last-digit KKT noise of the reference's own sub-IS
+        code path."""
+        from examples.ex2 import main
+
+        got = self._generate(main)
+        assert got == self._expected("ex2_1_infinite-true.out"), got
+
+    @pytest.mark.parametrize(
+        "kw,fname",
+        [
+            (dict(expansion_type="gf", explength_type="opt"), "ex1_opt.out"),
+            (dict(expansion_type="g", explength_type="optapprox"),
+             "ex1_optapprox.out"),
+            (dict(expansion_type="projcg"), "ex1_projcg.out"),
+            (dict(expansion_type="gfgr", explength_type="bb"), "ex1_bb.out"),
+        ],
+    )
+    def test_ex1_variants_match_committed_out_verbatim(self, kw, fname):
+        from examples.ex1 import main
+        from permon_tpu.solvers.mprgp import MPRGPOptions
+
+        got = self._generate(main, opts=MPRGPOptions(**kw))
+        assert got == self._expected(fname), (fname, got)
+
+    def test_ex3_matches_committed_out(self):
+        """Verbatim on every line except the parent stationarity residual
+        ||A*x - b + B'*lambda||: both sides are at machine epsilon (1.93e-15
+        reference MUMPS vs 3.62e-15 band-Cholesky K+) and the exact digits
+        are factorization-rounding, not algorithmic."""
+        import re
+
+        from examples.ex3 import main
+
+        got = self._generate(main)
+        exp = self._expected("ex3_1.out")
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            if "B'*lambda" in e:
+                # same label, value at machine noise
+                ge = re.match(r"r = \|\|(.+)\|\| = (\S+)    rO/\|\|b\|\| = (\S+)", g)
+                ee = re.match(r"r = \|\|(.+)\|\| = (\S+)    rO/\|\|b\|\| = (\S+)", e)
+                assert ge and ee and ge.group(1) == ee.group(1), (g, e)
+                assert float(ge.group(3)) < 1e-12, g
+            else:
+                assert g == e, (g, e)
