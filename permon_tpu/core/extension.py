@@ -53,8 +53,18 @@ class SubdomainExtension(LinearOperator):
     #: small constant, so a (rows, width) gather covers it exactly.
     gB_cols: jax.Array = None  # (m, gmax) int32 decomposed-col ids, pad = N
     gB_vals: jax.Array = None  # (m, gmax)
-    gBt_rows: jax.Array = None  # (N, dmax) int32 dual-row ids, pad = m
-    gBt_vals: jax.Array = None  # (N, dmax)
+    gBt_rows: jax.Array = None  # (N, w) int32 dual-row ids, pad = m
+    gBt_vals: jax.Array = None  # (N, w)
+    #: overflow COO for primal dofs whose dual fan-in exceeds the base table
+    #: width w (see :meth:`with_gather_apply`): subdomain-corner/edge OWNER
+    #: copies under nonredundant gluing touch up to deg-1 = 7 rows, but they
+    #: are a few hundred dofs — padding the WHOLE (N, dmax) table to their
+    #: fan-in made rmv gather 7x more elements than needed (98.5% padding
+    #: measured at the 59^3 contact problem; the table gather was 75% of the
+    #: F-apply cost at the 1M-dof north star)
+    gBt_ov_cols: jax.Array = None  # (nov,) int32 decomposed dof ids
+    gBt_ov_rows: jax.Array = None  # (nov,) int32 dual-row ids
+    gBt_ov_vals: jax.Array = None  # (nov,)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -133,15 +143,18 @@ class SubdomainExtension(LinearOperator):
         blk = blk.at[s_idx, t_idx, self.cols].add(self.vals)
         return self.replace(blk=blk)
 
-    def with_gather_apply(self) -> "SubdomainExtension":
+    def with_gather_apply(self, base_width: int = 2) -> "SubdomainExtension":
         """Attach row-major gather tables for BOTH apply directions (host
         setup, O(nnz)): ``mv`` becomes  out[r] = sum_j gB_vals[r, j] *
         u[gB_cols[r, j]]  and ``rmv`` the same shape over primal dofs — no
-        scatter in either direction.  The widths gmax/dmax are the maximum
-        fan-in (2 for nonredundant gluing rows; a small constant for
-        full/orth and for per-dof membership), so the tables are O(m + N)
-        memory.  This is the single-chip hot-path layout; the sharded
-        shard_map path keeps the per-subdomain triplet form."""
+        scatter in the hot shape.  The primal-major table is CAPPED at
+        ``base_width`` slots per dof (2 covers everything but the owner
+        copies of subdomain-edge/corner dofs under nonredundant gluing);
+        the tail goes into a tiny overflow COO applied with one bounded
+        scatter-add — padding the whole (N, dmax) table to the worst-case
+        fan-in of 7 made the rmv gather 75% of the F-apply cost at the
+        1M-dof north star.  This is the single-chip hot-path layout; the
+        sharded path shards both the tables and the overflow."""
         if self.gB_cols is not None:
             return self
 
@@ -153,7 +166,7 @@ class SubdomainExtension(LinearOperator):
         rows, gcols, vals = rows[real], gcols[real], vals[real]
         N = self.ns * self.nl
 
-        def pack(keys, payload, pv, nrows, pad_key):
+        def pack(keys, payload, pv, nrows, pad_key, cap=None):
             order = np.argsort(keys, kind="stable")
             k_s, p_s, v_s = keys[order], payload[order], pv[order]
             counts = np.bincount(k_s, minlength=nrows)
@@ -161,20 +174,34 @@ class SubdomainExtension(LinearOperator):
             slot = np.arange(len(k_s)) - np.concatenate(
                 [[0], np.cumsum(counts)[:-1]]
             )[k_s]
+            ov = None
+            if cap is not None and w > cap:
+                over = slot >= cap
+                ov = (k_s[over], p_s[over], v_s[over])
+                k_s, p_s, v_s = k_s[~over], p_s[~over], v_s[~over]
+                slot = slot[~over]
+                w = cap
             idx = np.full((nrows, w), pad_key, dtype=np.int32)
             val = np.zeros((nrows, w), dtype=vals.dtype)
             idx[k_s, slot] = p_s
             val[k_s, slot] = v_s
-            return idx, val
+            return idx, val, ov
 
-        gB_cols, gB_vals = pack(rows, gcols.astype(np.int32), vals,
-                                self.m_dual, N)
-        gBt_rows, gBt_vals = pack(gcols, rows.astype(np.int32), vals,
-                                  N, self.m_dual)
-        return self.replace(
+        gB_cols, gB_vals, _ = pack(rows, gcols.astype(np.int32), vals,
+                                   self.m_dual, N)
+        gBt_rows, gBt_vals, ov = pack(gcols, rows.astype(np.int32), vals,
+                                      N, self.m_dual, cap=int(base_width))
+        out = self.replace(
             gB_cols=jnp.asarray(gB_cols), gB_vals=jnp.asarray(gB_vals),
             gBt_rows=jnp.asarray(gBt_rows), gBt_vals=jnp.asarray(gBt_vals),
         )
+        if ov is not None:
+            out = out.replace(
+                gBt_ov_cols=jnp.asarray(ov[0].astype(np.int32)),
+                gBt_ov_rows=jnp.asarray(ov[1].astype(np.int32)),
+                gBt_ov_vals=jnp.asarray(ov[2]),
+            )
+        return out
 
     def mv(self, u):
         """B u: per-subdomain gather + scatter-add, then the cross-subdomain
@@ -195,7 +222,12 @@ class SubdomainExtension(LinearOperator):
         """B' lambda: communication-free gather from the (replicated) dual."""
         if self.gBt_rows is not None:
             lp = jnp.concatenate([lam, jnp.zeros(1, lam.dtype)])
-            return jnp.sum(self.gBt_vals * lp[self.gBt_rows], axis=1)
+            out = jnp.sum(self.gBt_vals * lp[self.gBt_rows], axis=1)
+            if self.gBt_ov_cols is not None:
+                out = out.at[self.gBt_ov_cols].add(
+                    self.gBt_ov_vals * lp[self.gBt_ov_rows]
+                )
+            return out
         lam_pad = jnp.concatenate([lam, jnp.zeros(1, lam.dtype)])
         if self.blk is not None:
             gathered = lam_pad[self.rows]

@@ -96,6 +96,34 @@ class Dense(LinearOperator):
 
 
 @struct.dataclass
+class DenseTree(Dense):
+    """Dense wide (k, m) operator whose matvecs reduce as FIXED BINARY
+    TREES of elementwise adds instead of XLA dot ops.
+
+    Exists for the f64 coarse operator G on TPU: f64 there is float-float
+    emulated and XLA lowers an f64 ``dot``/``reduce`` SEQUENTIALLY along
+    the contraction (the compensation is order-dependent) — measured
+    12.4 ms for one (63, 94563) f64 GEMV pair on a v5e where the tree is
+    bandwidth-bound at well under a millisecond.  The tree is also
+    deterministic by construction (core/detred.py), so projector
+    applications are bit-stable across device counts for free.  Subclasses
+    :class:`Dense` so dense-aware call sites (dense_rows short-circuit,
+    sparse_rows transforms) keep working."""
+
+    def mv(self, x):
+        from .detred import det_sum
+
+        return det_sum(self.a * x[None, :].astype(self.a.dtype), axis=-1
+                       ).astype(x.dtype)
+
+    def rmv(self, y):
+        from .detred import det_sum
+
+        return det_sum(self.a * y[:, None].astype(self.a.dtype), axis=0
+                       ).astype(y.dtype)
+
+
+@struct.dataclass
 class Diagonal(LinearOperator):
     d: jax.Array
     shape: Tuple[int, int] = struct.field(pytree_node=False)

@@ -108,6 +108,14 @@ def shard_extension_sparse(B: SubdomainExtension, mesh: Mesh) -> SubdomainExtens
             gBt_rows=put(B.gBt_rows, axes, None),
             gBt_vals=put(B.gBt_vals, axes, None),
         )
+    if B.gBt_ov_cols is not None:
+        # the few-hundred-entry overflow COO is replicated; its scatter-add
+        # into the sharded primal is partitioned by GSPMD
+        B = B.replace(
+            gBt_ov_cols=put(B.gBt_ov_cols),
+            gBt_ov_rows=put(B.gBt_ov_rows),
+            gBt_ov_vals=put(B.gBt_ov_vals),
+        )
     return B
 
 

@@ -116,7 +116,13 @@ def _sparse_coarse(R, B):
     ggt = (G_sp @ G_sp.T).tocsr()
     k, m = G_sp.shape
     if k * m <= DENSE_G_ELEMENTS:
-        G_op = Dense.create(jnp.asarray(G_sp.toarray()))
+        # DenseTree, not Dense: on TPU the f64 GEMV pair of a projector
+        # application lowers sequentially (measured 12.4 ms at (63, 94563)
+        # per P apply — ~15% of a north-star CG iteration); the fixed-tree
+        # reduction is bandwidth-bound and deterministic (core/linop.py)
+        from ..core.linop import DenseTree
+
+        G_op = DenseTree.create(jnp.asarray(G_sp.toarray()))
     else:
         G_op = Product((Transpose(R), Transpose(B)))  # mv = R'(B' lam), lazy
     return G_op, ggt

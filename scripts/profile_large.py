@@ -128,6 +128,14 @@ def main(ncells=100, g=4):
     out["dual_dot_ms"] = round(per * 1e3, 3)
     print(f"f64 dual dot (+axpy) {per*1e3:.3f} ms", flush=True)
 
+    # free the eager dualize products before compiling the fast executable:
+    # at the 1M-dof scale the extra dual operator + section temporaries
+    # pushed HBM 5 MB past capacity (observed OOM in the round-4 run)
+    import gc
+
+    del dual
+    gc.collect()
+
     # 7. the one-dispatch fast executable (dual CG + post chain), warm
     tol = Tolerances(rtol=1e-5)
     fn = solver._fast_fn(tol)
