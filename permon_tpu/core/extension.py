@@ -211,7 +211,8 @@ class SubdomainExtension(LinearOperator):
             return jnp.sum(self.gB_vals * up[self.gB_cols], axis=1)
         ub = u.reshape(self.ns, self.nl)
         if self.blk is not None:
-            contrib = jnp.einsum("stl,sl->st", self.blk, ub)
+            with jax.default_matmul_precision("highest"):  # bf16 default
+                contrib = jnp.einsum("stl,sl->st", self.blk, ub)
         else:
             contrib = self.vals * jnp.take_along_axis(ub, self.cols, axis=1)
         out = jnp.zeros(self.m_dual + 1, dtype=contrib.dtype)
@@ -231,7 +232,8 @@ class SubdomainExtension(LinearOperator):
         lam_pad = jnp.concatenate([lam, jnp.zeros(1, lam.dtype)])
         if self.blk is not None:
             gathered = lam_pad[self.rows]
-            return jnp.einsum("stl,st->sl", self.blk, gathered).reshape(-1)
+            with jax.default_matmul_precision("highest"):  # bf16 default
+                return jnp.einsum("stl,st->sl", self.blk, gathered).reshape(-1)
         gathered = self.vals * lam_pad[self.rows]
         out = jnp.zeros((self.ns, self.nl), dtype=gathered.dtype)
         out = jax.vmap(lambda o, c, g: o.at[c].add(g))(out, self.cols, gathered)

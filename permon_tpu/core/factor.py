@@ -94,7 +94,8 @@ class BlockDiagCholInv(LinearOperator):
         nb, bs, _ = self.chols.shape
         xb = x.reshape(nb, bs)
         if self.invs is not None:
-            return jnp.einsum("sij,sj->si", self.invs, xb).reshape(-1)
+            with jax.default_matmul_precision("highest"):  # bf16 default
+                return jnp.einsum("sij,sj->si", self.invs, xb).reshape(-1)
         yb = jax.vmap(lambda c, v: jax.scipy.linalg.cho_solve((c, True), v))(self.chols, xb)
         return yb.reshape(-1)
 
@@ -156,7 +157,8 @@ class RaggedBlockDiagCholInv(LinearOperator):
             bs = chols.shape[1]
             xi = xb[idx, :bs]
             if invs is not None:
-                yi = jnp.einsum("sij,sj->si", invs, xi)
+                with jax.default_matmul_precision("highest"):  # bf16 default
+                    yi = jnp.einsum("sij,sj->si", invs, xi)
             else:
                 yi = jax.vmap(
                     lambda c, v: jax.scipy.linalg.cho_solve((c, True), v)

@@ -135,9 +135,14 @@ class LeafDualOperator:
         return cls(blk=B.blk, invs=kplus.invs, space=LeafDualSpace.build(B))
 
     def apply(self, Lam: jax.Array) -> jax.Array:
-        u = jnp.einsum("stl,st->sl", self.blk, Lam)
-        w = jnp.einsum("sij,sj->si", self.invs, u)
-        contrib = jnp.einsum("stl,sl->st", self.blk, w)
+        # full-f32 matmul precision: the TPU default (bf16 passes) loses
+        # ~5 decimal digits — harmless for f64 leaves, but the f32-state
+        # precision policy's trajectory collapses under it (observed on
+        # chip: contact SMALXE 48-vs-136 outer iterations and 5x time)
+        with jax.default_matmul_precision("highest"):
+            u = jnp.einsum("stl,st->sl", self.blk, Lam)
+            w = jnp.einsum("sij,sj->si", self.invs, u)
+            contrib = jnp.einsum("stl,sl->st", self.blk, w)
         return self.space.combine(contrib)
 
 
@@ -163,9 +168,10 @@ class LeafProjector:
         return cls(Gl=Gl, chol=chol, weights=space.weights)
 
     def __call__(self, Lam: jax.Array) -> jax.Array:
-        y = jnp.einsum("cst,st->c", self.Gl * self.weights, Lam)
-        z = jax.scipy.linalg.cho_solve((self.chol, True), y)
-        return Lam - jnp.einsum("cst,c->st", self.Gl, z)
+        with jax.default_matmul_precision("highest"):
+            y = jnp.einsum("cst,st->c", self.Gl * self.weights, Lam)
+            z = jax.scipy.linalg.cho_solve((self.chol, True), y)
+            return Lam - jnp.einsum("cst,c->st", self.Gl, z)
 
 
 def leaf_cg(

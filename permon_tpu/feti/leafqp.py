@@ -122,12 +122,14 @@ class LeafG(LinearOperator):
 
     def mv(self, xt):
         X = xt.reshape(self.sp.s.shape)
-        return jnp.einsum(
-            "cst,st->c", self.Gl * self.sp.s.astype(xt.dtype), X
-        )
+        with jax.default_matmul_precision("highest"):
+            return jnp.einsum(
+                "cst,st->c", self.Gl * self.sp.s.astype(xt.dtype), X
+            )
 
     def rmv(self, y):
-        Z = jnp.einsum("cst,c->st", self.Gl, y)
+        with jax.default_matmul_precision("highest"):
+            Z = jnp.einsum("cst,c->st", self.Gl, y)
         return (Z * self.sp.s.astype(y.dtype)).reshape(-1)
 
 

@@ -213,11 +213,13 @@ def leaf_apply_overlapped(op: LeafDualOperator, plan: LeafOverlapPlan,
         ploc = ploc[0]
         sends = [b[0] for b in bufs[:noff]]
         recvs_t = [b[0] for b in bufs[noff:]]
-        u = jnp.einsum("stl,st->sl", blk, Lam)
+        with jax.default_matmul_precision("highest"):  # bf16 default kills f32 state
+            u = jnp.einsum("stl,st->sl", blk, Lam)
         idxb, idxi = perm[:nb], perm[nb:]
         # boundary subdomains: solve + condense first, ship immediately
-        wb = jnp.einsum("sij,sj->si", invs[idxb], u[idxb])
-        cb = jnp.einsum("stl,sl->st", blk[idxb], wb)
+        with jax.default_matmul_precision("highest"):
+            wb = jnp.einsum("sij,sj->si", invs[idxb], u[idxb])
+            cb = jnp.einsum("stl,sl->st", blk[idxb], wb)
         cbp = jnp.concatenate([cb.reshape(-1), jnp.zeros(1, cb.dtype)])
         recvs = [
             lax.ppermute(cbp[sidx], ax, perm=pp)
@@ -225,8 +227,9 @@ def leaf_apply_overlapped(op: LeafDualOperator, plan: LeafOverlapPlan,
         ]
         # interior solves + local combine: no data dependence on the
         # permutes above — XLA overlaps them with the ICI transfer
-        wi = jnp.einsum("sij,sj->si", invs[idxi], u[idxi])
-        ci = jnp.einsum("stl,sl->st", blk[idxi], wi)
+        with jax.default_matmul_precision("highest"):
+            wi = jnp.einsum("sij,sj->si", invs[idxi], u[idxi])
+            ci = jnp.einsum("stl,sl->st", blk[idxi], wi)
         contrib = jnp.zeros_like(Lam).at[idxb].set(cb).at[idxi].set(ci)
         cpad = jnp.concatenate([contrib.reshape(-1), jnp.zeros(1, contrib.dtype)])
         out = contrib
