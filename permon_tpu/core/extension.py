@@ -65,6 +65,17 @@ class SubdomainExtension(LinearOperator):
     gBt_ov_cols: jax.Array = None  # (nov,) int32 decomposed dof ids
     gBt_ov_rows: jax.Array = None  # (nov,) int32 dual-row ids
     gBt_ov_vals: jax.Array = None  # (nov,)
+    #: optional SELL-scheduled pure-gather plans over the two tables (see
+    #: :meth:`with_sell_gather`): XLA lowers the table gathers to a
+    #: serialized scalar-unit loop (~7 ns/element — at the 1M-dof north
+    #: star the width-2 primal table alone gathers ~2.25M elements, ~44 of
+    #: the 62.9 ms F apply), while the SELL kernel moves the same values
+    #: with in-register tpu.dynamic_gather at HBM-stream speed
+    #: (core/sell.py).  The plans only MOVE values (V = 1); the value
+    #: multiply + slot reduction stays outside in the vector dtype, so
+    #: results are bit-identical to the plain table path.
+    sB: object = None  # SEll plan over gB_cols (mv direction)
+    sBt: object = None  # SEll plan over gBt_rows (rmv direction)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -203,9 +214,26 @@ class SubdomainExtension(LinearOperator):
             )
         return out
 
+    def with_sell_gather(self) -> "SubdomainExtension":
+        """Attach SELL pure-gather plans for both table directions (host
+        setup; requires :meth:`with_gather_apply` first).  Single-chip
+        hot-path layout only — the sharded path keeps the plain tables
+        (parallel/dist.shard_extension_sparse drops the plans: they index
+        the full unsharded slot spaces)."""
+        if self.sB is not None or self.gB_cols is None:
+            return self
+        from .sell import gather_plan
+
+        sB = gather_plan(np.asarray(self.gB_cols), self.ns * self.nl)
+        sBt = gather_plan(np.asarray(self.gBt_rows), self.m_dual)
+        return self.replace(sB=sB, sBt=sBt)
+
     def mv(self, u):
         """B u: per-subdomain gather + scatter-add, then the cross-subdomain
         sum (the single psum when sharded)."""
+        if self.sB is not None:
+            G = self.sB(u).reshape(self.gB_cols.shape)
+            return jnp.sum(self.gB_vals * G, axis=1)
         if self.gB_cols is not None:
             up = jnp.concatenate([u, jnp.zeros(1, u.dtype)])
             return jnp.sum(self.gB_vals * up[self.gB_cols], axis=1)
@@ -221,6 +249,15 @@ class SubdomainExtension(LinearOperator):
 
     def rmv(self, lam):
         """B' lambda: communication-free gather from the (replicated) dual."""
+        if self.sBt is not None:
+            G = self.sBt(lam).reshape(self.gBt_rows.shape)
+            out = jnp.sum(self.gBt_vals * G, axis=1)
+            if self.gBt_ov_cols is not None:
+                lp = jnp.concatenate([lam, jnp.zeros(1, lam.dtype)])
+                out = out.at[self.gBt_ov_cols].add(
+                    self.gBt_ov_vals * lp[self.gBt_ov_rows]
+                )
+            return out
         if self.gBt_rows is not None:
             lp = jnp.concatenate([lam, jnp.zeros(1, lam.dtype)])
             out = jnp.sum(self.gBt_vals * lp[self.gBt_rows], axis=1)

@@ -283,6 +283,174 @@ class SEll(LinearOperator):
         return jax.vmap(self.mv, in_axes=1, out_axes=1)(eye)
 
 
+#: valid-slot flag bit in the packed gather-plan codes (bits 0-11 hold
+#: s*128 + c for win <= 4096; int16 stays positive)
+GATHER_VALID_BIT = 14
+
+
+@struct.dataclass
+class SEllGather:
+    """SELL-scheduled PURE GATHER: ``plan(x)[t] == x[idx_flat[t]]`` (0.0 at
+    pad slots, idx >= n_src) for a fixed index table, at in-register
+    ``tpu.dynamic_gather`` speed instead of XLA's serialized scalar-unit
+    gather (~7 ns/element).
+
+    Unlike :class:`SEll` the kernel performs NO arithmetic — each round
+    masked-SELECTS gathered values into the output, and the values moved
+    are the raw 32-bit words of the source vector (one int32 channel for
+    f32, the two words of each f64 gathered with the same plan and
+    re-concatenated by bitcast).  The result is therefore bit-identical to
+    ``x[idx]`` for EVERY pattern — full f64 mantissas, subnormals, signed
+    zeros — so swapping the kernel in cannot shift a solver trajectory.
+    The non-pallas fallback is the plain table gather itself (exact on any
+    backend; serialized on TPU)."""
+
+    wstart: jax.Array  # (nr,) i32 — x-window start row (multiple of 8)
+    tid: jax.Array  # (nr,) i32 — output tile of each round
+    SC: jax.Array  # (nr*8, 128) i16 — s*128 + c | valid << GATHER_VALID_BIT
+    idx: jax.Array  # (nslots,) i32 — original table (pad = n_src), fallback
+    nslots: int = struct.field(pytree_node=False)
+    n_src: int = struct.field(pytree_node=False)
+    ntiles: int = struct.field(pytree_node=False)
+    win: int = struct.field(pytree_node=False, default=1024)
+    use_pallas: bool = struct.field(pytree_node=False, default=True)
+    #: run the kernel through the pallas interpreter (CPU tests of the
+    #: exact production path — bitcast channels + masked-select rounds)
+    interpret: bool = struct.field(pytree_node=False, default=False)
+
+    def _gather32(self, x32):
+        """One 32-bit channel: (n_src,) int32 -> (nslots,) int32."""
+        xp = jnp.zeros(
+            ((self.n_src + 127) // 128 + (self.win // 128)) * 128, x32.dtype
+        ).at[: self.n_src].set(x32)
+        y = _sell_gather_pallas(
+            self.wstart, self.tid, self.SC, xp.reshape(-1, 128),
+            self.ntiles, self.win // 128, interpret=self.interpret,
+        )
+        return y[: self.nslots]
+
+    def __call__(self, x):
+        if not self.use_pallas:
+            # exact by definition on any backend/dtype
+            return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[self.idx]
+        if x.dtype == jnp.float64:
+            w = jax.lax.bitcast_convert_type(x, jnp.int32)  # (n, 2)
+            g = jnp.stack(
+                [self._gather32(w[:, 0]), self._gather32(w[:, 1])], axis=-1
+            )
+            return jax.lax.bitcast_convert_type(g, jnp.float64)
+        if x.dtype == jnp.float32:
+            g = self._gather32(jax.lax.bitcast_convert_type(x, jnp.int32))
+            return jax.lax.bitcast_convert_type(g, jnp.float32)
+        return self._gather32(x.astype(jnp.int32))
+
+
+def gather_plan(idx_flat, n_src: int, use_pallas: Optional[bool] = None,
+                win="auto", report: Optional[dict] = None) -> "SEllGather":
+    """Schedule a :class:`SEllGather` for an index table: the permutation
+    matrix P[t, idx[t]] = 1 is fed through the SELL round scheduler (native
+    when available), then the rounds' (S, C) codes get the per-slot VALID
+    bit (V != 0) and V is dropped — the kernel only moves values.
+    ``use_pallas`` defaults to "is the default backend a TPU"."""
+    import jax as _jax
+    import scipy.sparse as sp
+
+    if use_pallas is None:
+        use_pallas = _jax.default_backend() == "tpu"
+    idx_flat = np.asarray(idx_flat, dtype=np.int64).reshape(-1)
+    nslots = len(idx_flat)
+    t = np.flatnonzero(idx_flat < n_src)
+    P = sp.csr_matrix(
+        (np.ones(len(t), dtype=np.float64), (t, idx_flat[t])),
+        shape=(nslots, int(n_src)),
+    )
+    if win == "auto":
+        best = None
+        for cand in WIN_CANDIDATES:
+            rep_c: dict = {}
+            sched = _schedule(P, win=cand, report=rep_c)
+            rate = _predicted_rate(P.nnz, max(rep_c["rounds"], 1), cand)
+            if best is None or rate > best[0]:
+                best = (rate, cand, sched, rep_c)
+        _, win, (wstart, tid, S, C, V), rep_c = best
+        if report is not None:
+            report.update(rep_c)
+    else:
+        win = int(win)
+        wstart, tid, S, C, V = _schedule(P, win=win, report=report)
+    code = S.astype(np.int32) * 128 + C.astype(np.int32)
+    code |= (V != 0.0).astype(np.int32) << GATHER_VALID_BIT
+    nr = len(tid)
+    return SEllGather(
+        wstart=jnp.asarray(wstart), tid=jnp.asarray(tid),
+        SC=jnp.asarray(code.astype(np.int16).reshape(nr * 8, 128)),
+        idx=jnp.asarray(np.minimum(idx_flat, n_src).astype(np.int32)),
+        nslots=nslots, n_src=int(n_src),
+        ntiles=max((nslots + TILE - 1) // TILE, 1),
+        win=int(win), use_pallas=use_pallas,
+    )
+
+
+@partial(jax.jit, static_argnames=("ntiles", "wr", "interpret"))
+def _sell_gather_pallas(wstart, tid, SC, x2d, ntiles, wr,
+                        interpret: bool = False):
+    """Masked-select variant of :func:`_sell_mv_pallas`: no value stream and
+    no arithmetic — each round gathers its window and SELECTS the valid
+    slots into the output tile, leaving other rounds' slots untouched.
+    int32 data path (the caller moves raw words; see SEllGather)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr = tid.shape[0]
+    assert nr % RB == 0, "scheduler must pad rounds to a multiple of RB"
+    nblk = wr // 8
+
+    def kernel(ws_ref, tid_ref, sc_ref, x_ref, o_ref):
+        r = pl.program_id(0)
+
+        @pl.when(r == 0)
+        def _():
+            o_ref[:, :] = jnp.zeros_like(o_ref)
+
+        for q in range(RB):
+            k = r * RB + q
+            W = x_ref[pl.ds(pl.multiple_of(ws_ref[k], 8), wr), :]
+            code = sc_ref[pl.ds(q * 8, 8), :].astype(jnp.int32)
+            valid = code >> GATHER_VALID_BIT
+            S = (code >> 7) & 63
+            C = code & 127
+            Sb = S & 7
+            blk_id = S >> 3
+            P = jnp.take_along_axis(W[0:8], Sb, axis=0)
+            for b in range(1, nblk):
+                Pb = jnp.take_along_axis(W[8 * b : 8 * (b + 1)], Sb, axis=0)
+                P = jnp.where(blk_id == b, Pb, P)
+            G = jnp.take_along_axis(P, C, axis=1)
+            t8 = pl.multiple_of(tid_ref[k] * 8, 8)
+            o_ref[pl.ds(t8, 8), :] = jnp.where(
+                valid == 1, G, o_ref[pl.ds(t8, 8), :]
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nr // RB,),
+        in_specs=[
+            pl.BlockSpec((RB * 8, 128), lambda r, ws, tid: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    with jax.enable_x64(False):
+        y = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ntiles * 8, 128), x2d.dtype),
+            interpret=interpret,
+        )(wstart, tid, SC, x2d)
+    return y.reshape(-1)
+
+
 def _unpack_sc(SC, nr):
     """(nr*8, 128) i16 packed codes -> i32 (nr, 8, 128) S (sublane) and C
     (lane)."""

@@ -133,15 +133,50 @@ def reorder_rcm(prob: SparseFetiProblem) -> SparseFetiProblem:
     )
 
 
+@dataclasses.dataclass
+class DirichletElim:
+    """Rhs-side record of the Dirichlet-in-Hessian elimination: repeated
+    solves with NEW right-hand sides (FetiSolverSparse.solve(b_loc=...))
+    must re-apply the same affine rhs transform — lift by -K_orig[:, i] *
+    value, then alpha * value on the Dirichlet rows — or the boundary
+    conditions are silently violated.  Also carries the ELIMINATED blocks
+    so primal defect-correction passes compute their residual against the
+    operator that was actually solved (the original singular K would
+    inject O(r/alpha) errors at the Dirichlet dofs every pass)."""
+
+    K_elim: List[Any]  # ns csr blocks AFTER elimination
+    touched: np.ndarray  # (ns,) bool
+    alpha: float
+    lift: dict  # s -> (nl,) precomputed K_orig_s @ vvec_s
+    fix_idx: dict  # s -> local Dirichlet indices
+    fix_val: dict  # s -> alpha * values at those indices
+
+    def apply_b(self, b_loc: np.ndarray) -> np.ndarray:
+        b = np.array(b_loc, dtype=np.float64, copy=True)
+        for s, idx in self.fix_idx.items():
+            b[s] -= self.lift[s]
+            b[s, idx] = self.fix_val[s]
+        return b
+
+    def eliminated_prob(self, prob: "SparseFetiProblem") -> "SparseFetiProblem":
+        """The problem as actually solved: eliminated blocks + transformed
+        rhs, Dirichlet set cleared (it lives in the operator now)."""
+        return dataclasses.replace(
+            prob, K_blocks=self.K_elim, b_loc=self.apply_b(prob.b_loc),
+            dirichlet=np.zeros(0, dtype=np.int64), dirichlet_values=None,
+        )
+
+
 def eliminate_dirichlet_in_sparse_blocks(prob: SparseFetiProblem, K_blocks):
     """Sparse-blocks Dirichlet-in-Hessian: for every copy (s, i) of a
     Dirichlet dof, lift the rhs by -K_s[:, i] * value, zero row/column i
     symmetrically, and put alpha = max|diag| (with alpha * value on the
     rhs) on the diagonal — MatZeroRowsColumnsIS semantics
-    (qpfeti.c:280-306).  Returns (K_blocks', b_loc', touched) with
+    (qpfeti.c:280-306).  Returns (K_blocks', b_loc', touched, elim) with
     ``touched[s]`` true when block s holds a Dirichlet copy (those blocks
     are non-singular afterwards and are grounded out of the nullspace,
-    the classical-FETI R-row zeroing)."""
+    the classical-FETI R-row zeroing) and ``elim`` a :class:`DirichletElim`
+    record replaying the rhs transform on new right-hand sides."""
     import scipy.sparse as sp
 
     b = prob.b_loc.copy()
@@ -155,6 +190,7 @@ def eliminate_dirichlet_in_sparse_blocks(prob: SparseFetiProblem, K_blocks):
     alpha = max(max(abs(K.diagonal()).max() for K in K_blocks), 1.0)
     touched = np.zeros(prob.ns, dtype=bool)
     K_out = []
+    lift, fix_idx, fix_val = {}, {}, {}
     for s, K in enumerate(K_blocks):
         here = np.isin(prob.l2g[s], dglob)
         idx = np.flatnonzero(here)
@@ -164,14 +200,19 @@ def eliminate_dirichlet_in_sparse_blocks(prob: SparseFetiProblem, K_blocks):
         touched[s] = True
         vvec = np.zeros(prob.nl)
         vvec[idx] = [val_of[int(g)] for g in prob.l2g[s, idx]]
-        b[s] -= K @ vvec
+        lift[s] = K @ vvec
+        b[s] -= lift[s]
         keep = (~here).astype(K.dtype)
         D = sp.diags(keep)
         K2 = (D @ K @ D).tolil()
         K2[idx, idx] = alpha
         K_out.append(K2.tocsr())
-        b[s, idx] = alpha * vvec[idx]
-    return K_out, b, touched
+        fix_idx[s] = idx
+        fix_val[s] = alpha * vvec[idx]
+        b[s, idx] = fix_val[s]
+    elim = DirichletElim(K_elim=K_out, touched=touched, alpha=float(alpha),
+                         lift=lift, fix_idx=fix_idx, fix_val=fix_val)
+    return K_out, b, touched, elim
 
 
 def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(),
@@ -188,9 +229,19 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
     UNPADDED (ns, nl) decomposed space (same interface as the dense
     ``feti_solve``); the operator is re-padded to nlp here.
 
-    Returns (qp, kplus, NB)."""
+    Returns (qp, kplus, NB, elim) — ``elim`` is the
+    :class:`DirichletElim` rhs-transform record when dirichlet_by_B=False
+    eliminated Dirichlet dofs into the Hessian, else None."""
     import scipy.sparse as sp
 
+    if opts.throughput:
+        raise NotImplementedError(
+            "throughput=True (the dense leaf/explicit-inverse iteration, "
+            "feti/leaf.py) has no large-path analog: the band K+ keeps its "
+            "factors implicit and B/B' already apply as vectorized gather "
+            "tables/kernels here — drop the flag, or use feti_solve for "
+            "the dense leaf path"
+        )
     if not opts.project:
         raise NotImplementedError(
             "the large path always runs the projected dual pipeline; "
@@ -206,13 +257,14 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
     ns, nl = prob.ns, prob.nl
     K_blocks = [sp.csr_matrix(K) for K in prob.K_blocks]
     floating = np.asarray(prob.floating, dtype=bool).copy()
+    elim = None
     if not opts.dirichlet_by_B and len(prob.dirichlet):
         # Dirichlet-in-Hessian (classical FETI): symmetric zero-rows-columns
         # with alpha = max|diag| on the diagonal, rhs lifted by -K[:,i]*val,
         # and the touched blocks grounded (their R rows zeroed — here: the
         # block simply has no nullspace columns).  Reference:
         # qpfeti.c:153-312 (MatZeroRowsColumnsIS + R row zeroing).
-        K_blocks, b_elim, touched = eliminate_dirichlet_in_sparse_blocks(
+        K_blocks, b_elim, touched, elim = eliminate_dirichlet_in_sparse_blocks(
             prob, K_blocks
         )
         prob = dataclasses.replace(
@@ -258,6 +310,7 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
     BE = SubdomainExtension.from_coo(
         rows, cols, vals, m=row_off, ns=ns, nl=nlp
     ).with_gather_apply()
+    BE = _maybe_sell_gather(BE, opts)
     cE = jnp.asarray(np.concatenate(cE_parts))
 
     fixed_mask = ~floating
@@ -328,11 +381,31 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
     cE_arr = np.concatenate(cE_parts)
     qp = QP(A=A, b=b, BE=BE, cE=cE if cE_arr.any() else None, R=R)
     if BI is not None:
-        BIp = BI.replace(nl=nlp).with_gather_apply()
+        BIp = _maybe_sell_gather(
+            BI.replace(nl=nlp).with_gather_apply(), opts
+        )
         qp = qp.replace(
             BI=BIp, cI=None if cI is None else jnp.asarray(cI)
         )
-    return qp, kplus, NB
+    return qp, kplus, NB, elim
+
+
+#: table-slot count past which the SELL gather kernel pays for its setup
+#: (below it the XLA gather is already sub-ms and the scheduling cost is
+#: pure overhead; at the 1M-dof north star the primal-major table alone is
+#: ~2.25M slots and the kernel removes ~40 ms per F apply)
+SELL_GATHER_MIN_SLOTS = 1 << 19
+
+
+def _maybe_sell_gather(B, opts: FetiOptions):
+    """Attach SELL pure-gather plans to an extension operator per
+    ``opts.gather_kernel`` (None = auto: single chip + big tables)."""
+    if opts.gather_kernel is False or opts.mesh is not None:
+        return B
+    slots = int(np.prod(B.gBt_rows.shape)) + int(np.prod(B.gB_cols.shape))
+    if opts.gather_kernel or slots >= SELL_GATHER_MIN_SLOTS:
+        return B.with_sell_gather()
+    return B
 
 
 def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
@@ -487,10 +560,15 @@ def _feti_solve_sparse_body(
     prob, opts, tol, NB, kplus_dtype, kplus_refine, op_dtype, primal_refine,
     BI=None, cI=None,
 ) -> FetiResult:
-    qp, kplus, NB = assemble_qp_sparse(
+    qp, kplus, NB, elim = assemble_qp_sparse(
         prob, opts, NB=NB, kplus_dtype=kplus_dtype, kplus_refine=kplus_refine,
         op_dtype=op_dtype, BI=BI, cI=cI,
     )
+    if elim is not None:
+        # defect-correction passes must see the ELIMINATED system (the one
+        # the factors solve), or each pass injects O(r/alpha) errors at the
+        # Dirichlet dofs (advisor r4)
+        prob = elim.eliminated_prob(prob)
     # low-precision factors: the hot dual CG runs UNREFINED applies, the
     # refined K+ (same factor arrays, zero extra memory) is reserved for
     # the post-solve chain where its accuracy actually shows up
@@ -642,13 +720,16 @@ class FetiSolverSparse:
                 "inequalities use f64 factors or kplus_refine instead"
             )
         _enable_cache()
-        self.prob = prob
         self.opts = opts
         self.primal_refine = primal_refine
-        self.qp, kplus, self.NB = assemble_qp_sparse(
+        self.qp, kplus, self.NB, self._elim = assemble_qp_sparse(
             prob, opts, NB=NB, kplus_dtype=kplus_dtype,
             kplus_refine=kplus_refine, op_dtype=op_dtype, BI=BI, cI=cI,
         )
+        # keep the problem AS SOLVED: with Dirichlet-in-Hessian the stored
+        # blocks/rhs are the eliminated ones, so defect-correction residuals
+        # and re-solve rhs handling stay consistent with the factors
+        self.prob = prob if self._elim is None else self._elim.eliminated_prob(prob)
         self.kplus_post = None
         if kplus.refine and kplus.op is not None:
             self.kplus_post = kplus
@@ -683,7 +764,13 @@ class FetiSolverSparse:
         prob, qp = self.prob, self.qp
         self._ensure_pf()
         if b_loc is not None:
-            prob = dataclasses.replace(prob, b_loc=np.asarray(b_loc))
+            b_loc = np.asarray(b_loc)
+            if self._elim is not None:
+                # re-apply the Dirichlet-in-Hessian rhs transform (lift +
+                # alpha*value rows) — a raw rhs against the eliminated
+                # factors silently violates the boundary conditions
+                b_loc = self._elim.apply_b(b_loc)
+            prob = dataclasses.replace(prob, b_loc=b_loc)
             nlp = qp.BE.nl
             b_pad = np.zeros((prob.ns, nlp))
             b_pad[:, : prob.nl] = prob.b_loc

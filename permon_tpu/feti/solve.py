@@ -107,6 +107,12 @@ class FetiOptions:
     #: (parallel/coarse.py; -dual_qppf_redundancy, qppf.c:182-183).
     #: Results match the replicated factor to roundoff.
     qppf_redundancy: bool = False
+    #: large path, single chip: run the B/B' gather tables through the
+    #: SELL-scheduled in-register gather kernel (core/sell.gather_plan) —
+    #: bit-identical results, ~serialized-gather -> HBM-stream speed.
+    #: None = auto (on when the tables are big enough to matter and no
+    #: mesh is set; the sharded path keeps plain tables), True/False force.
+    gather_kernel: Optional[bool] = None
 
     def resolved_rho_mode(self, ns: int) -> str:
         if self.rho_mode != "auto":

@@ -102,6 +102,9 @@ def shard_extension_sparse(B: SubdomainExtension, mesh: Mesh) -> SubdomainExtens
         cols=put(B.cols, axes, None),
         vals=put(B.vals, axes, None),
         gB_cols=None, gB_vals=None,
+        # the SELL gather plans index the FULL unsharded slot spaces —
+        # single-chip layout only
+        sB=None, sBt=None,
     )
     if B.gBt_rows is not None:
         B = B.replace(

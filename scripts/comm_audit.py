@@ -70,7 +70,7 @@ def main():
         mesh = make_mesh(ndev)
         opts = FetiOptions(gluing="nonred", coarse="sparse", mesh=mesh,
                            deterministic=True)
-        qp, kplus, NB = assemble_qp_sparse(prob, opts)
+        qp, kplus, NB, _ = assemble_qp_sparse(prob, opts)
         qp, kplus, _ = shard_qp_sparse(qp, kplus, mesh)
         lam = jnp.ones(qp.BE.m_dual)
 

@@ -112,6 +112,128 @@ class TestSEll:
         )
 
 
+class TestGatherPlan:
+    """Pure-gather plans (core/sell.gather_plan): an arbitrary index table
+    run through the SELL round machinery must MOVE values bitwise — the
+    masked-select kernel gathers the raw 32-bit words (two channels per
+    f64), so full mantissas, subnormals and signed zeros survive and
+    solver trajectories cannot shift."""
+
+    def _plan_and_ref(self, seed=0, nslots=5000, n_src=700, kernel=False):
+        from permon_tpu.core.sell import gather_plan
+
+        rng = np.random.RandomState(seed)
+        idx = rng.randint(0, n_src, size=nslots).astype(np.int64)
+        idx[rng.rand(nslots) < 0.3] = n_src  # pad slots
+        plan = gather_plan(idx, n_src)
+        if kernel:  # exercise the production kernel path on CPU
+            plan = plan.replace(use_pallas=True, interpret=True)
+        return plan, idx
+
+    def test_f32_fallback_bitwise(self):
+        plan, idx = self._plan_and_ref()
+        assert not plan.use_pallas  # CPU backend -> table-gather fallback
+        x = np.random.RandomState(1).rand(700).astype(np.float32)
+        xp = np.concatenate([x, [0.0]]).astype(np.float32)
+        got = np.asarray(plan(jnp.asarray(x)))
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(got, xp[np.minimum(idx, 700)])
+
+    def test_f64_kernel_bitwise(self):
+        plan, idx = self._plan_and_ref(seed=2, kernel=True)
+        # values that do NOT fit f32: full f64 mantissas, wide exponents,
+        # f64 subnormals, signed zero
+        x = np.random.RandomState(3).rand(700) * np.exp(
+            np.random.RandomState(4).randn(700) * 30
+        )
+        x[10] = 5e-324
+        x[11] = -0.0
+        x[12] = np.nan
+        xp = np.concatenate([x, [0.0]])
+        got = np.asarray(plan(jnp.asarray(x)))
+        assert got.dtype == np.float64
+        np.testing.assert_array_equal(
+            got.view(np.int64), xp[np.minimum(idx, 700)].view(np.int64)
+        )
+
+    def test_f32_kernel_bitwise(self):
+        plan, idx = self._plan_and_ref(seed=5, nslots=3000, n_src=2500,
+                                       kernel=True)
+        x = np.random.RandomState(6).rand(2500).astype(np.float32)
+        xp = np.concatenate([x, [0.0]]).astype(np.float32)
+        got = np.asarray(plan(jnp.asarray(x)))
+        np.testing.assert_array_equal(
+            got.view(np.int32), xp[np.minimum(idx, 2500)].view(np.int32)
+        )
+
+
+class TestExtensionSellGather:
+    """SubdomainExtension.with_sell_gather: mv/rmv bitwise-identical to the
+    plain gather-table path (the contract that lets the large path swap the
+    kernel in without re-pinning any iteration-count oracle)."""
+
+    def _ext(self, seed=0):
+        from permon_tpu.core.extension import SubdomainExtension
+
+        rng = np.random.RandomState(seed)
+        ns, nl, m, nnz = 6, 500, 900, 2500
+        rows = rng.randint(0, m, nnz)
+        cols = rng.randint(0, ns * nl, nnz)
+        vals = rng.randn(nnz)
+        B = SubdomainExtension.from_coo(rows, cols, vals, m=m, ns=ns, nl=nl)
+        return B.with_gather_apply()
+
+    @staticmethod
+    def _kernelize(B):
+        """Route the attached plans through the interpreted pallas kernel
+        (the TPU production path, runnable on CPU)."""
+        return B.replace(
+            sB=B.sB.replace(use_pallas=True, interpret=True),
+            sBt=B.sBt.replace(use_pallas=True, interpret=True),
+        )
+
+    def test_mv_rmv_bitwise_f64(self):
+        B = self._ext()
+        Bs = B.with_sell_gather()
+        u = np.random.RandomState(1).randn(B.ns * B.nl)
+        lam = np.random.RandomState(2).randn(B.m_dual)
+        np.testing.assert_array_equal(
+            np.asarray(Bs.mv(jnp.asarray(u))), np.asarray(B.mv(jnp.asarray(u)))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(Bs.rmv(jnp.asarray(lam))),
+            np.asarray(B.rmv(jnp.asarray(lam))),
+        )
+
+    def test_mv_rmv_bitwise_f32(self):
+        B = self._ext(seed=3)
+        Bs = B.with_sell_gather()
+        u = np.random.RandomState(4).randn(B.ns * B.nl).astype(np.float32)
+        lam = np.random.RandomState(5).randn(B.m_dual).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(Bs.mv(jnp.asarray(u))), np.asarray(B.mv(jnp.asarray(u)))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(Bs.rmv(jnp.asarray(lam))),
+            np.asarray(B.rmv(jnp.asarray(lam))),
+        )
+
+    def test_mv_rmv_bitwise_kernel_path(self):
+        """The interpreted pallas kernel path (what the TPU runs) is
+        bitwise-identical to the table path for f64 vectors."""
+        B = self._ext(seed=6)
+        Bs = self._kernelize(B.with_sell_gather())
+        u = np.random.RandomState(7).randn(B.ns * B.nl)
+        lam = np.random.RandomState(8).randn(B.m_dual)
+        np.testing.assert_array_equal(
+            np.asarray(Bs.mv(jnp.asarray(u))), np.asarray(B.mv(jnp.asarray(u)))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(Bs.rmv(jnp.asarray(lam))),
+            np.asarray(B.rmv(jnp.asarray(lam))),
+        )
+
+
 class TestMakeOperatorSelection:
     def test_unstructured_square_symmetric_goes_sell(self):
         a = _permuted_laplacian_2d(20)
