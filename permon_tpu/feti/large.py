@@ -218,7 +218,7 @@ def eliminate_dirichlet_in_sparse_blocks(prob: SparseFetiProblem, K_blocks):
 def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(),
                        NB: Optional[int] = None, kplus_dtype=None,
                        kplus_refine: int = 0, op_dtype=None,
-                       BI=None, cI=None):
+                       BI=None, cI=None, abstract_factors: bool = False):
     """Build the decomposed QP (A = BlockTridiag, BE = gluing [+ Dirichlet
     rows], R analytic) and the band K+.  Local sizes are padded to a
     multiple of the band block size NB (padding dofs get unit diagonals and
@@ -228,6 +228,13 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
     :class:`~permon_tpu.core.extension.SubdomainExtension` over the
     UNPADDED (ns, nl) decomposed space (same interface as the dense
     ``feti_solve``); the operator is re-padded to nlp here.
+
+    ``abstract_factors=True`` builds everything EXCEPT the numeric band
+    factors: the K+ Dinv/F arrays (and b) become ``jax.ShapeDtypeStruct``
+    avatars of the exact production shapes/dtypes.  The result cannot be
+    solved — it exists for AOT ``jit(...).lower().compile()`` audits
+    (per-device memory, collective census) at shapes too big to
+    factorize on this host (scripts/memaudit.py: the 10M-dof north star).
 
     Returns (qp, kplus, NB, elim) — ``elim`` is the
     :class:`DirichletElim` rhs-transform record when dirichlet_by_B=False
@@ -242,11 +249,14 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
             "tables/kernels here — drop the flag, or use feti_solve for "
             "the dense leaf path"
         )
-    if not opts.project:
+    if not opts.project and BI is None:
         raise NotImplementedError(
-            "the large path always runs the projected dual pipeline; "
-            "project=False (SMALXE on the unprojected dual) is a "
-            "tutorial-scale option — use feti_solve"
+            "the large path runs the projected dual pipeline for LINEAR "
+            "solves; project=False (SMALXE on the unprojected dual) is a "
+            "tutorial-scale option there — use feti_solve.  For CONTACT "
+            "(BI given) project=False selects the production SMALBE: the "
+            "augmented-Lagrangian outer loop enforces G lam = e itself "
+            "(smalxe.c:892-997)"
         )
     if opts.orth_G is not None:
         raise NotImplementedError(
@@ -356,14 +366,6 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
             rho = gershgorin_max_eig_csr(Kreg)
             Kreg = regularize_csr(Kreg, Rb, rho, NB, nl=nl)
         Kregs.append(Kreg)
-    Ads, Asubs = [], []
-    for s in range(ns):
-        Ad, Asub = csr_to_block_tridiag(Kregs[s], NB)
-        Ads.append(Ad.astype(fdt))
-        Asubs.append(Asub.astype(fdt))
-    Ad_sm = np.stack(Ads, axis=1)  # scan-major (nb, ns, NB, NB), host
-    Asub_sm = np.stack(Asubs, axis=1)
-    del Ads, Asubs
     # two stencil operators: K+ refinement residuals need the REGULARIZED
     # blocks (the factors solve Kreg), but the QP's Hessian — and therefore
     # the lumped dual preconditioner M = B K B' (pc/dual.py) — must be the
@@ -371,10 +373,28 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
     # the fixing dofs and wreck the preconditioned iteration
     Areg = BlockDia.from_scipy_blocks(Kregs, nlp=nlp, dtype=op_dtype)
     A = BlockDia.from_scipy_blocks(K_blocks, nlp=nlp, dtype=op_dtype)
-    kplus = BandCholInv.from_block_tridiag(
-        Ad_sm, Asub_sm, dtype=kplus_dtype, refine=kplus_refine,
-        op=Areg, scan_major=True,
-    )
+    if abstract_factors:
+        # shapes only: the Dinv/F factor arrays at exact production
+        # shape/dtype, no numeric factorization (see docstring)
+        kplus = BandCholInv(
+            Dinv=jax.ShapeDtypeStruct((nb, ns, NB, NB), jnp.dtype(fdt)),
+            F=jax.ShapeDtypeStruct((nb, ns, NB, NB), jnp.dtype(fdt)),
+            shape=(ns * nlp, ns * nlp),
+            op=Areg if kplus_refine else None, refine=kplus_refine,
+        )
+    else:
+        Ads, Asubs = [], []
+        for s in range(ns):
+            Ad, Asub = csr_to_block_tridiag(Kregs[s], NB)
+            Ads.append(Ad.astype(fdt))
+            Asubs.append(Asub.astype(fdt))
+        Ad_sm = np.stack(Ads, axis=1)  # scan-major (nb, ns, NB, NB), host
+        Asub_sm = np.stack(Asubs, axis=1)
+        del Ads, Asubs
+        kplus = BandCholInv.from_block_tridiag(
+            Ad_sm, Asub_sm, dtype=kplus_dtype, refine=kplus_refine,
+            op=Areg, scan_major=True,
+        )
     b = jnp.asarray(b_loc.reshape(-1))
     # an all-zero cE carries no information: drop it so the pipeline skips
     # homogenize_eq (one A apply + coarse solve) entirely
@@ -434,6 +454,23 @@ def _solve_prepared(qp, kplus, opts: FetiOptions, tol: Tolerances,
         cur, _ = homogenize_eq(cur)
         cur_a, post_h = homogenize_eq(cur_a)
         steps.append((cur_a, post_h))
+
+    if not opts.project:
+        # SMALBE proper (contact; assemble_qp_sparse rejects the linear
+        # case): no coarse projector at all — the semi-monotonic augmented
+        # Lagrangian enforces G lam = 0 itself while MPRGP handles the box,
+        # Dostal's production contact algorithm and the reference's
+        # -project 0 pipeline (smalxe.c:892-997).  Unlike the projected
+        # variant, ||G lam|| is driven by the OUTER loop, so the M1/rho/eta
+        # adaptation actually iterates at scale.
+        from ..solvers.smalxe import smalxe
+
+        sm = opts.smalxe
+        res = jax.jit(lambda q: smalxe(q, opts=sm, tol=tol))(cur)
+        sol = compose(steps)(
+            Solution(x=res.x, Bt_lambda=getattr(res, "Bt_lambda", None))
+        )
+        return sol, res, dual
 
     pc_op = None
     if opts.pc_dual == "lumped" and qp.box is None and qp.BI is None:
@@ -697,6 +734,57 @@ def build_sparse_pf(qp, opts: FetiOptions):
     return Projector.create(G, gram=gram)
 
 
+def make_fast_solve_fn(opts: FetiOptions, tol: Tolerances, nref: int, ng: int):
+    """The one-dispatch warm-solve function (jit it): dual solve + post
+    chain + global reassembly + ``nref`` f64 primal defect-correction
+    passes, everything passed as ARGUMENTS (never baked as constants).
+    Factored out of :class:`FetiSolverSparse` so AOT audits can lower the
+    exact production executable at arbitrary shapes
+    (scripts/memaudit.py)."""
+
+    def run(qp, kplus, kplus_post, pf, b, l2g_c, real, counts_g):
+        # l2g_c: (ns*nlp,) int32 global dof per copy, padding -> ng
+        # real: (ns*nlp,) bool; counts_g: (ng,) f64 multiplicities
+        def solve_chain(bb):
+            sol, res, _ = _solve_prepared(
+                qp.replace(b=bb), kplus, opts, tol,
+                kplus_post=kplus_post, pf=pf,
+            )
+            return sol.x, res
+
+        def assemble(xd):
+            xg = jnp.zeros(ng + 1, xd.dtype).at[l2g_c].add(
+                jnp.where(real, xd, 0.0)
+            )
+            return xg[:ng] / counts_g
+
+        x_dec, res = solve_chain(b)
+        xg = assemble(x_dec)
+        for _ in range(nref):
+            u_lift = jnp.where(
+                real,
+                jnp.concatenate([xg, jnp.zeros(1, xg.dtype)])[l2g_c],
+                0.0,
+            )
+            r = jnp.where(real, b - qp.A.mv(u_lift), 0.0)
+            # sum the copies (= assembled residual) and re-split
+            # with D = 1/multiplicity (decompose_rhs_by_multiplicity)
+            rg = jnp.zeros(ng + 1, r.dtype).at[l2g_c].add(r)
+            r_dec = jnp.where(
+                real,
+                rg[l2g_c]
+                / jnp.concatenate([counts_g, jnp.ones(1)])[l2g_c],
+                0.0,
+            )
+            dx, res = solve_chain(r_dec)
+            xg = xg + assemble(dx)
+        # return the full result pytree (CGResult for linear solves,
+        # SMALXEResult for contact) so outer/inner counters survive
+        return (xg, x_dec, res)
+
+    return run
+
+
 class FetiSolverSparse:
     """Reusable large-path TFETI solver — the QPTFetiPrepareReuseCP analog
     at scale (qptransform.c:1213-1251): assembly, the band K+ factorization
@@ -817,51 +905,9 @@ class FetiSolverSparse:
         key = (tol.rtol, tol.atol, tol.divtol, tol.max_it)
         fn = self._fast_cache.get(key)
         if fn is None:
-            opts = self.opts
-            nref = self.primal_refine
-            ng = self.prob.n_global
-
-            def run(qp, kplus, kplus_post, pf, b, l2g_c, real, counts_g):
-                # l2g_c: (ns*nlp,) int32 global dof per copy, padding -> ng
-                # real: (ns*nlp,) bool; counts_g: (ng,) f64 multiplicities
-                def solve_chain(bb):
-                    sol, res, _ = _solve_prepared(
-                        qp.replace(b=bb), kplus, opts, tol,
-                        kplus_post=kplus_post, pf=pf,
-                    )
-                    return sol.x, res
-
-                def assemble(xd):
-                    xg = jnp.zeros(ng + 1, xd.dtype).at[l2g_c].add(
-                        jnp.where(real, xd, 0.0)
-                    )
-                    return xg[:ng] / counts_g
-
-                x_dec, res = solve_chain(b)
-                xg = assemble(x_dec)
-                for _ in range(nref):
-                    u_lift = jnp.where(
-                        real,
-                        jnp.concatenate([xg, jnp.zeros(1, xg.dtype)])[l2g_c],
-                        0.0,
-                    )
-                    r = jnp.where(real, b - qp.A.mv(u_lift), 0.0)
-                    # sum the copies (= assembled residual) and re-split
-                    # with D = 1/multiplicity (decompose_rhs_by_multiplicity)
-                    rg = jnp.zeros(ng + 1, r.dtype).at[l2g_c].add(r)
-                    r_dec = jnp.where(
-                        real,
-                        rg[l2g_c]
-                        / jnp.concatenate([counts_g, jnp.ones(1)])[l2g_c],
-                        0.0,
-                    )
-                    dx, res = solve_chain(r_dec)
-                    xg = xg + assemble(dx)
-                # return the full result pytree (CGResult for linear solves,
-                # SMALXEResult for contact) so outer/inner counters survive
-                return (xg, x_dec, res)
-
-            fn = jax.jit(run)
+            fn = jax.jit(make_fast_solve_fn(
+                self.opts, tol, self.primal_refine, self.prob.n_global
+            ))
             self._fast_cache[key] = fn
         return fn
 

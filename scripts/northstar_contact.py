@@ -74,6 +74,57 @@ def main(ncells=59, g=2):
     out["resolve_s"], out["resolve_warm_s"] = ts
     print(f"re-solves (reused factors): {ts[0]} s (incl. compile), "
           f"warm {ts[1]} s", flush=True)
+    x_proj = np.asarray(solver.solve(tol=Tolerances(rtol=1e-5)).x_global)
+    del solver
+
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+
+    # SMALBE proper (project=False): the augmented-Lagrangian outer loop
+    # enforces G lam = 0 itself, so the semi-monotonic M1/rho adaptation
+    # actually ITERATES at scale — the projected variant above converges in
+    # one outer by construction (its iterates stay in ker G).  CPU CI twin:
+    # tests/test_large.py::TestSparseContact::
+    # test_smalbe_unprojected_adaptive_twin.
+    from permon_tpu.solvers.smalxe import SMALXEOptions
+
+    t0 = time.time()
+    solver_al = FetiSolverSparse(
+        prob, FetiOptions(gluing="nonred", deterministic=True,
+                          coarse="sparse", project=False,
+                          smalxe=SMALXEOptions(rtol_E=0.1)),
+        kplus_dtype=jnp.float32, kplus_refine=2, BI=BI, cI=cI,
+    )
+    r2 = solver_al.solve(tol=Tolerances(rtol=1e-5))
+    t1 = time.time()
+    res2 = r2.result
+    out["smalbe"] = {
+        "first_solve_s": round(t1 - t0, 1),
+        "outer_its": int(res2.iterations),
+        "inner_its": int(res2.inner_iterations),
+        "nmv": int(res2.nmv),
+        "reason": int(res2.reason),
+        "M1_updates": int(res2.M1_updates),
+        "rho_updates": int(res2.rho_updates),
+        "max_dx_vs_projected": float(
+            np.abs(np.asarray(r2.x_global) - x_proj).max()
+        ),
+    }
+    print(f"SMALBE (project=0): {out['smalbe']['outer_its']} outer / "
+          f"{out['smalbe']['inner_its']} inner its, "
+          f"M1 updates {out['smalbe']['M1_updates']}, "
+          f"rho updates {out['smalbe']['rho_updates']}, reason "
+          f"{out['smalbe']['reason']}, max|dx| vs projected "
+          f"{out['smalbe']['max_dx_vs_projected']:.2e} "
+          f"({out['smalbe']['first_solve_s']} s)", flush=True)
+    del r2
+    t0 = time.time()
+    r3 = solver_al.solve(b_loc=prob.b_loc * 1.001, tol=Tolerances(rtol=1e-5))
+    out["smalbe"]["resolve_s"] = round(time.time() - t0, 2)
+    out["smalbe"]["outer_its_resolve"] = int(r3.result.iterations)
+    print(f"SMALBE re-solve (reused factors): {out['smalbe']['resolve_s']} s, "
+          f"{out['smalbe']['outer_its_resolve']} outer its", flush=True)
+    del r3
 
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
