@@ -44,6 +44,13 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "sd") -> Mesh:
 
 
 def _put(x, mesh, spec):
+    if isinstance(x, jax.ShapeDtypeStruct):
+        # abstract avatar (AOT memory/communication audits at shapes too
+        # big to materialize — scripts/memaudit.py): carry the sharding on
+        # the ShapeDtypeStruct so jit(...).lower() sees the real layout
+        return jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(mesh, spec)
+        )
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
