@@ -270,12 +270,16 @@ void sell_greedy(const int64_t* indptr, const int64_t* indices, int64_t m,
 // Drain compaction over the greedy schedule: within each (tile, window)
 // group, sweep the thin rounds and migrate every entry that fits into a
 // fuller round (slot free, S[i,c] unset-or-equal); rounds drained to zero
-// die.  First-fit leaves ~1 excess round per (tile, window) on wiggly-band
-// matrices (measured on the RCM 3-D Laplacian: eff 0.622 greedy vs a
-// 0.840 slot/consistency-aware lower bound; draining converges at 0.721 —
-// the residual gap needs relocation CHAINS, not single moves).  A few
-// sweeps reach the fixpoint; entries are identified by nnz index p so the
-// final C/V fill-in below stays driven by `assign`.
+// die.  Single moves alone fixpoint ~1 excess round per (tile, window) on
+// wiggly-band matrices (round-4 measurement on the RCM 3-D Laplacian:
+// eff 0.622 greedy -> 0.721 drained vs the 0.840 slot/consistency-aware
+// lower bound of scripts/sell_bound.py); the round-5 RELOCATION CHAINS
+// close most of the rest: when entry p of a draining round cannot enter
+// any target because one blocker (an occupied output slot or a
+// single-user S conflict) stands in the way, the blocker is first moved
+// to a third round, then p takes its place — a depth-2 augmenting step.
+// Entries are identified by nnz index p so the final C/V fill-in below
+// stays driven by `assign`.
 void sell_compact(const int64_t* indptr, const int64_t* indices, int64_t m,
                   std::vector<int32_t>& assign,
                   std::vector<SellRound>& rounds) {
@@ -301,7 +305,6 @@ void sell_compact(const int64_t* indptr, const int64_t* indices, int64_t m,
   std::map<std::pair<int32_t, int32_t>, std::vector<int32_t>> groups;
   for (int64_t r = 0; r < nr; ++r)
     groups[{rounds[r].tile, rounds[r].win}].push_back((int32_t)r);
-  std::vector<int32_t> tile_rounds(0);
   std::vector<int32_t> live_per_tile;
   {
     int32_t max_tile = 0;
@@ -310,8 +313,89 @@ void sell_compact(const int64_t* indptr, const int64_t* indices, int64_t m,
     for (auto& R : rounds) live_per_tile[R.tile]++;
   }
   std::vector<char> dead(nr, 0);
-  for (int sweep = 0; sweep < 8; ++sweep) {
+
+  // geometry of entry p within its tile/window group
+  auto geom = [&](int64_t p, int64_t w, int& i, int& j, int& c, int& s) {
+    int64_t rloc = row_of[p] % 1024;
+    i = (int)(rloc / 128);
+    j = (int)(rloc % 128);
+    c = (int)(indices[p] % 128);
+    s = (int)((indices[p] - (w << 10)) / 128);
+  };
+  // legality of p (currently in round `from`) entering round `tgt`
+  auto fits = [&](int64_t p, int32_t tgt) -> bool {
+    int i, j, c, s;
+    geom(p, rounds[tgt].win, i, j, c, s);
+    SellRound& T = rounds[tgt];
+    if (T.used[i * 128 + j]) return false;
+    int16_t cur = T.S[i * 128 + c];
+    return cur == -1 || cur == (int16_t)s;
+  };
+  // unconditional apply of a legal move p: src -> tgt (keeps ents/ref/S
+  // consistent; caller guarantees fits())
+  auto apply_move = [&](int64_t p, int32_t src, int32_t tgt) {
+    int i, j, c, s;
+    geom(p, rounds[tgt].win, i, j, c, s);
+    SellRound& T = rounds[tgt];
+    T.S[i * 128 + c] = (int16_t)s;
+    T.used[i * 128 + j] = true;
+    ref[tgt][i * 128 + c]++;
+    ents[tgt].push_back(p);
+    assign[p] = tgt;
+    SellRound& Ssrc = rounds[src];
+    Ssrc.used[i * 128 + j] = false;
+    if (--ref[src][i * 128 + c] == 0) Ssrc.S[i * 128 + c] = -1;
+    auto& se = ents[src];
+    for (size_t e = 0; e < se.size(); ++e)
+      if (se[e] == p) {
+        se[e] = se.back();
+        se.pop_back();
+        break;
+      }
+  };
+  // the ONE blocker stopping p from entering tgt, or -1 when there are
+  // several (slot occupant first; else the single user of a conflicting
+  // S[i,c]); -2 when p already fits
+  auto blocker_of = [&](int64_t p, int32_t tgt) -> int64_t {
+    int i, j, c, s;
+    geom(p, rounds[tgt].win, i, j, c, s);
+    SellRound& T = rounds[tgt];
+    bool slot_busy = T.used[i * 128 + j];
+    int16_t cur = T.S[i * 128 + c];
+    bool s_conflict = (cur != -1 && cur != (int16_t)s);
+    if (!slot_busy && !s_conflict) return -2;
+    if (slot_busy && s_conflict) {
+      // solvable only when ONE entry is both the slot occupant and the
+      // sole user of the conflicting S[i,c]
+      if (ref[tgt][i * 128 + c] != 1) return -1;
+      for (int64_t q : ents[tgt]) {
+        int qi, qj, qc, qs;
+        geom(q, rounds[tgt].win, qi, qj, qc, qs);
+        if (qi == i && qj == j) return qc == c ? q : -1;
+      }
+      return -1;
+    }
+    if (slot_busy) {
+      for (int64_t q : ents[tgt]) {
+        int qi, qj, qc, qs;
+        geom(q, rounds[tgt].win, qi, qj, qc, qs);
+        if (qi == i && qj == j) return q;
+      }
+      return -1;
+    }
+    // single-user S conflict: movable only when exactly one entry holds it
+    if (ref[tgt][i * 128 + c] != 1) return -1;
+    for (int64_t q : ents[tgt]) {
+      int qi, qj, qc, qs;
+      geom(q, rounds[tgt].win, qi, qj, qc, qs);
+      if (qi == i && qc == c) return q;
+    }
+    return -1;
+  };
+
+  for (int sweep = 0; sweep < 16; ++sweep) {
     int64_t killed = 0;
+    bool chains = sweep >= 2;  // single-move sweeps reach fixpoint first
     for (auto& kv : groups) {
       auto& rl = kv.second;
       // ascending fill: drain thin rounds into fuller ones
@@ -331,30 +415,31 @@ void sell_compact(const int64_t* indptr, const int64_t* indices, int64_t m,
         auto& src_ents = ents[src];
         for (size_t e = 0; e < src_ents.size();) {
           int64_t p = src_ents[e];
-          int64_t rloc = row_of[p] % 1024;
-          int i = (int)(rloc / 128), j = (int)(rloc % 128);
-          int c = (int)(indices[p] % 128);
-          int64_t w = rounds[src].win;  // start block of this group
-          int s = (int)((indices[p] - (w << 10)) / 128);
           bool moved = false;
-          for (int32_t tgt : tgts) {
-            SellRound& T = rounds[tgt];
-            if (T.used[i * 128 + j]) continue;
-            int16_t cur = T.S[i * 128 + c];
-            if (cur != -1 && cur != (int16_t)s) continue;
-            // move p: src -> tgt
-            T.S[i * 128 + c] = (int16_t)s;
-            T.used[i * 128 + j] = true;
-            ref[tgt][i * 128 + c]++;
-            ents[tgt].push_back(p);
-            assign[p] = tgt;
-            SellRound& Ssrc = rounds[src];
-            Ssrc.used[i * 128 + j] = false;
-            if (--ref[src][i * 128 + c] == 0) Ssrc.S[i * 128 + c] = -1;
-            src_ents[e] = src_ents.back();
-            src_ents.pop_back();
-            moved = true;
-            break;
+          for (int32_t tgt : tgts)
+            if (fits(p, tgt)) {
+              apply_move(p, src, tgt);
+              moved = true;
+              break;
+            }
+          if (!moved && chains) {
+            // depth-2 relocation: evict the single blocker of some target
+            // into a third round, then take its place
+            for (int32_t tgt : tgts) {
+              int64_t q = blocker_of(p, tgt);
+              if (q < 0) continue;
+              for (int32_t r2 : tgts) {
+                if (r2 == tgt) continue;
+                if (!fits(q, r2)) continue;
+                apply_move(q, tgt, r2);
+                if (fits(p, tgt)) {
+                  apply_move(p, src, tgt);
+                  moved = true;
+                }
+                break;
+              }
+              if (moved) break;
+            }
           }
           if (!moved) ++e;
         }
@@ -365,7 +450,7 @@ void sell_compact(const int64_t* indptr, const int64_t* indices, int64_t m,
         }
       }
     }
-    if (killed == 0) break;
+    if (killed == 0 && sweep >= 2) break;
   }
   // rebuild the round list (tile-sorted order is preserved: groups are
   // visited in (tile, win) order and survivors keep their relative order)
