@@ -334,6 +334,28 @@ class SEllGather:
             # exact by definition on any backend/dtype
             return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[self.idx]
         if x.dtype == jnp.float64:
+            if jax.default_backend() == "tpu" and not self.interpret:
+                # the TPU has NO 64-bit storage: XLA's X64 rewrite keeps
+                # every f64 as a canonical (hi, lo) f32 float-float pair
+                # (and its bitcast-convert to 2xi32 is unimplemented).
+                # Extracting the pair arithmetically IS the device
+                # representation — hi = f32(x) and lo = f32(x - hi) are
+                # exact on canonical pairs, and the two-sum recombination
+                # reproduces the identical pair, so this path is bitwise
+                # on TPU (asserted on chip; the CPU branch below is
+                # bitwise for true-IEEE f64 via word moves).
+                hi = x.astype(jnp.float32)
+                lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+                gh = self._gather32(jax.lax.bitcast_convert_type(hi, jnp.int32))
+                gl = self._gather32(jax.lax.bitcast_convert_type(lo, jnp.int32))
+                return (
+                    jax.lax.bitcast_convert_type(gh, jnp.float32).astype(
+                        jnp.float64
+                    )
+                    + jax.lax.bitcast_convert_type(gl, jnp.float32).astype(
+                        jnp.float64
+                    )
+                )
             w = jax.lax.bitcast_convert_type(x, jnp.int32)  # (n, 2)
             g = jnp.stack(
                 [self._gather32(w[:, 0]), self._gather32(w[:, 1])], axis=-1

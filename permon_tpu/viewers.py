@@ -169,6 +169,121 @@ def view_kkt(qp: QP, x, g=None, lambda_E=None, lambda_I=None,
     return "\n".join(lines)
 
 
+def view_chain_kkt_feti(res, prob=None, A_asm=None, b_asm=None) -> str:
+    """The ``-qp_chain_view_kkt`` r-lines of a dense-facade TFETI solve —
+    the exact per-node sequence QPChainPostSolve emits for the KSPFETI
+    chain (qpchain.c:200-276 walking last -> root, QPViewKKT per node,
+    qp.c:245-370), so the report diffs VERBATIM against the committed
+    feti expected outputs (src/tutorials/feti/output/ex71_*.out).
+
+    Chain anatomy reproduced here (reference transform list:
+    feti.c:86-91 -> QPTAllInOne, qptransform.c):
+
+    - MATIS root -> blockdiag (QPTMatISToBlockDiag) -> QPTScale no-op node
+      (QPTransformBegin runs unconditionally, so a pointer-copy node exists
+      even with scale type NONE — hence the DUPLICATED view pairs in the
+      .out files) -> dualize -> QPTScale no-op -> [homogenize -> project,
+      only when the dual has equality constraints, i.e. floating
+      subdomains exist].
+    - the projected node's multiplier is "missing", so
+      QPComputeMissingEqMultiplier sets Bt_lambda := -(A x - b) of the
+      HOMOGENIZED node and its stationarity line prints 0.00e+00 exactly
+      (qp.c:696-702); the dual nodes inherit that aliased Bt_lambda
+      (QP_DUPLICATE_COPY_POINTERS) and their recomputed residual is the
+      floating-point nonlinearity F(lam+xt) - F lam - F xt — machine
+      noise, label "(B'*lambda)";
+    - the primal decomposed nodes carry the MERGED multiplier set by the
+      dualize postSolve (label "+ B'*lambda", no parens);
+    - the root view is the ASSEMBLED residual (pass ``A_asm``/``b_asm``),
+      after the MatIS postSolve propagated the solution up.
+    """
+    import numpy as np
+
+    qp, dual = res.qp, res.dual_qp
+    lam_h = jnp.asarray(res.result.x)
+    F, d = dual.A, dual.b
+    lines: List[str] = []
+
+    def rline(name, r, nb):
+        return f"r = ||{name}|| = {_fmt(r)}    rO/||b|| = {_fmt(r / nb)}"
+
+    def beline(x, be, ce, nb):
+        rE = be.mv(x)
+        label = "||BE*x||            "
+        if ce is not None:
+            rE = rE - ce
+            label = "||BE*x-cE||         "
+        nE = jnp.linalg.norm(rE)
+        return f"r = {label} = {_fmt(nE)}    r/||b|| = {_fmt(nE / nb)}"
+
+    k = 0 if dual.BE is None else int(dual.BE.shape[0])
+    if k:
+        pf = dual.pf
+        if pf is None:
+            from .qp.projector import Projector
+
+            pf = Projector.create(dual.BE)
+        xt = pf.apply_half_q_t(dual.cE)  # homogenize shift
+        b_h = d - F.mv(xt)
+        # projected node: A = PFP, b = P b_h (x = lam_h)
+        r6 = pf.apply_p(F.mv(pf.apply_p(lam_h))) - pf.apply_p(b_h)
+        nb6 = jnp.linalg.norm(pf.apply_p(b_h))
+        lines.append(rline("A*x - b", jnp.linalg.norm(r6), nb6))
+        # homogenized node: missing multiplier -> exact zero stationarity
+        nb5 = jnp.linalg.norm(b_h)
+        lines.append(
+            f"r = ||A*x - b + (B'*lambda)|| = {_fmt(0.0)}"
+            f"    rO/||b|| = {_fmt(0.0)}"
+        )
+        lines.append(beline(lam_h, dual.BE, None, nb5))
+        # dual node (and its QPTScale pointer copy): aliased Bt_lambda
+        lam_full = lam_h + xt
+        r4 = jnp.linalg.norm(F.mv(lam_full) - d - (F.mv(lam_h) - b_h))
+        nb4 = jnp.linalg.norm(d)
+        pair = [rline("A*x - b + (B'*lambda)", r4, nb4),
+                beline(lam_full, dual.BE, dual.cE, nb4)]
+        lines += pair + pair
+    else:
+        lam_full = lam_h
+        r4 = jnp.linalg.norm(F.mv(lam_full) - d)
+        nb4 = jnp.linalg.norm(d)
+        pair = [rline("A*x - b", r4, nb4)]
+        lines += pair + pair
+    # primal decomposed node (and its QPTScale pointer copy): merged
+    # multiplier from the dualize postSolve.  The reference's BE carries NO
+    # cE here (homogeneous gluing; Dirichlet lives in the Hessian for the
+    # ex71 family) — an all-zero cE on our side means the same NULL
+    u = jnp.asarray(res.u_decomposed)
+    rp = jnp.linalg.norm(qp.A.mv(u) - qp.b + qp.BE.rmv(lam_full))
+    nbp = jnp.linalg.norm(qp.b)
+    cep = qp.cE if (qp.cE is not None and bool(jnp.any(qp.cE != 0))) else None
+    pair = [rline("A*x - b + B'*lambda", rp, nbp),
+            beline(u, qp.BE, cep, nbp)]
+    lines += pair + pair
+    # assembled root view.  The MatIS postSolve assembles the solution with
+    # a reverse VecScatter INSERT (qptransform.c:1949-1952) — for a shared
+    # dof ONE copy wins (the highest-rank writer, last in the scatter), not
+    # the copy mean the public API returns — so the root residual is
+    # computed from that insert-convention assembly
+    if A_asm is not None:
+        if prob is not None:
+            ng = prob.n_global
+            x_ins = np.zeros(ng)
+            u_np = np.asarray(u).reshape(prob.ns, -1)[:, : prob.nl]
+            # descending: rank 0's copy wins for shared dofs (matches the
+            # committed ex71 root-view digits: ratio 9.31e-06, not the
+            # 9.30e-06 the last-writer convention gives)
+            for s in range(prob.ns - 1, -1, -1):
+                real = prob.l2g[s] >= 0
+                x_ins[prob.l2g[s][real]] = u_np[s][real]
+        else:
+            x_ins = np.asarray(res.x_global)
+        r0 = np.linalg.norm(A_asm @ x_ins - b_asm)
+        nb0 = np.linalg.norm(b_asm)
+        lines.append(rline("A*x - b", r0, nb0))
+    return "\n".join(lines)
+
+
 def _op_info(name: str, op) -> str:
     """One MatPrintInfo-style line: name, type, shape, dtype."""
     import jax

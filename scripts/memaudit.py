@@ -177,10 +177,17 @@ def main(ncells=215, g=8, ndev=8):
           f"8x v5e; est. min v5e chips {out['min_v5e_devices_est']}",
           flush=True)
 
+    # one file, keyed per decomposition, so coarse/fine-grid audits coexist
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "memaudit.json")
+    combined = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        combined = prev if all(k.startswith("grid_") for k in prev) else {}
+    combined[f"grid_{g}x{g}x{g}"] = out
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(combined, f, indent=1)
     print("wrote", path, flush=True)
 
 
