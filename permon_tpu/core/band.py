@@ -256,6 +256,46 @@ class BlockTridiag(LinearOperator):
         return jnp.diagonal(self.Ad, axis1=2, axis2=3).reshape(-1)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("offsets", "NB", "dtype"))
+def expand_block_tridiag_dia(data, offsets, NB: int, dtype=None):
+    """DEVICE-side expansion of per-subdomain DIA stencil data to the
+    scan-major block-tridiagonal factor input — the reference factorizes
+    from distributed sparse data in place (matinv.c:410-431); the round-4
+    path instead expanded (nb, ns, NB, NB) dense blocks ON HOST and
+    shipped ~3.5 GB through the ~11 MB/s tunnel (~320 s of the 1M-dof
+    first solve).  The (ns, ndiag, nlp) row-aligned diagonals are ~50x
+    smaller and already uploaded for the refinement operator; each
+    diagonal contributes  vals[..., :, None] * eye(NB, k=off)  to the
+    in-block part and  * eye(NB, k=off+NB)  (off < 0) to the
+    sub-diagonal block — XLA fuses the per-diagonal masked broadcasts
+    into one pass, no scatter.  Entries with off > 0 crossing the block
+    edge belong to the (unstored) super-diagonal block of the symmetric
+    layout; entries with off < 0 at rows r < -off of block 0 read the
+    stencil's zero padding, so no masking is needed anywhere.
+
+    Returns (Ad_sm, Asub_sm) of shape (nb, ns, NB, NB); bit-identical to
+    the host `csr_to_block_tridiag` + `.astype(dtype)` route (same cast,
+    same values), so factor outputs and iteration counts cannot move."""
+    ns, ndiag, nlp = data.shape
+    nb = nlp // NB
+    dt = jnp.dtype(dtype) if dtype is not None else data.dtype
+    D = data.astype(dt).reshape(ns, ndiag, nb, NB).transpose(2, 0, 1, 3)
+    # D: (nb, ns, ndiag, NB)
+    Ad = jnp.zeros((nb, ns, NB, NB), dt)
+    Asub = jnp.zeros((nb, ns, NB, NB), dt)
+    for d, off in enumerate(offsets):
+        v = D[:, :, d, :]  # (nb, ns, NB)
+        if -NB < off < NB:
+            Ad = Ad + v[..., None] * jnp.eye(NB, k=int(off), dtype=dt)
+        if -NB < off < 0:
+            Asub = Asub + v[..., None] * jnp.eye(NB, k=int(off) + NB,
+                                                 dtype=dt)
+    return Ad, Asub
+
+
 @jax.jit
 def factor_block_tridiag_sm(Ad_sm, Asub_sm):
     """Block-tridiagonal Cholesky on SCAN-MAJOR (nb, ns, NB, NB) blocks:
@@ -357,6 +397,24 @@ class BandCholInv(LinearOperator):
             jnp.asarray(Ad_sm).astype(fdtype), jnp.asarray(Asub_sm).astype(fdtype)
         )
         return cls(Dinv=Dinv, F=F, shape=(n, n), op=ext_op, refine=refine)
+
+    @classmethod
+    def from_blockdia(cls, op, NB: int, dtype=None, refine: int = 0):
+        """Factorize directly from a (regularized) :class:`~permon_tpu.
+        core.dia.BlockDia` stencil: the block-tridiagonal factor input is
+        expanded ON DEVICE (:func:`expand_block_tridiag_dia`) from the
+        ~50x-smaller diagonal data instead of being built on host and
+        uploaded — the large-path analog of the reference's
+        factorize-from-distributed-sparse-data setup (matinv.c:410-431).
+        ``op`` doubles as the refinement operator when ``refine`` > 0."""
+        n = int(op.shape[0])
+        Ad_sm, Asub_sm = expand_block_tridiag_dia(
+            op.data, op.offsets, NB, dtype=dtype
+        )
+        Dinv, F = factor_block_tridiag_sm(Ad_sm, Asub_sm)
+        del Ad_sm, Asub_sm
+        return cls(Dinv=Dinv, F=F, shape=(n, n),
+                   op=op if refine else None, refine=refine)
 
     def _fwd(self, xb):
         """y = L^{-1} x on scan-major (nb, ns, NB) blocks (forward

@@ -383,17 +383,13 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
             op=Areg if kplus_refine else None, refine=kplus_refine,
         )
     else:
-        Ads, Asubs = [], []
-        for s in range(ns):
-            Ad, Asub = csr_to_block_tridiag(Kregs[s], NB)
-            Ads.append(Ad.astype(fdt))
-            Asubs.append(Asub.astype(fdt))
-        Ad_sm = np.stack(Ads, axis=1)  # scan-major (nb, ns, NB, NB), host
-        Asub_sm = np.stack(Asubs, axis=1)
-        del Ads, Asubs
-        kplus = BandCholInv.from_block_tridiag(
-            Ad_sm, Asub_sm, dtype=kplus_dtype, refine=kplus_refine,
-            op=Areg, scan_major=True,
+        # factor input expanded ON DEVICE from the ~50x-smaller stencil
+        # diagonals (already uploaded as the refinement operator) — the
+        # host (nb, ns, NB, NB) build + ~3.5 GB tunnel upload was ~320 s
+        # of the 1M-dof first solve (core/band.expand_block_tridiag_dia;
+        # bit-identical inputs, so factors and counts cannot move)
+        kplus = BandCholInv.from_blockdia(
+            Areg, NB, dtype=kplus_dtype, refine=kplus_refine,
         )
     b = jnp.asarray(b_loc.reshape(-1))
     # an all-zero cE carries no information: drop it so the pipeline skips

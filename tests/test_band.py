@@ -4,6 +4,7 @@ generalized inverse, and mixed-precision iterative refinement."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 import scipy.sparse as sp
 
 from permon_tpu.core.band import (
@@ -140,3 +141,93 @@ class TestMakeBandKplus:
         xf = np.asarray(inv.mv(jnp.asarray(br)))[npad : npad + n]
         r = Kd @ xf - br[npad : npad + n]
         assert np.linalg.norm(r) < 1e-9 * max(np.linalg.norm(b), 1)
+
+
+class TestDeviceExpansion:
+    """Device-side factor-input expansion (core/band.expand_block_tridiag_dia):
+    bit-identical to the host csr_to_block_tridiag route, so the large path
+    can factorize from the uploaded stencil diagonals without the multi-GB
+    block-tridiag tunnel upload (matinv.c:410-431 analog)."""
+
+    @staticmethod
+    def _random_band_blocks(seed=0, ns=3, nl=100, bw=9):
+        import scipy.sparse as sp
+
+        rng = np.random.RandomState(seed)
+        blocks = []
+        for s in range(ns):
+            diags, offs = [], []
+            for off in range(-bw, bw + 1):
+                if off and rng.rand() < 0.4:
+                    continue  # ragged per-block diagonal sets
+                offs.append(off)
+                diags.append(rng.randn(nl - abs(off)))
+            A = sp.diags(diags, offs, shape=(nl, nl), format="csr")
+            A = (A + A.T) / 2 + sp.identity(nl) * (2 * bw)
+            blocks.append(A.tocsr())
+        return blocks
+
+    @pytest.mark.parametrize("dtype", [np.float64, np.float32])
+    def test_bitwise_vs_host_expansion(self, dtype):
+        from permon_tpu.core.band import (
+            BandCholInv,
+            csr_to_block_tridiag,
+            expand_block_tridiag_dia,
+        )
+        from permon_tpu.core.dia import BlockDia
+
+        NB, nl, ns = 128, 100, 3
+        nlp = NB  # one block, padded
+        blocks = self._random_band_blocks(ns=ns, nl=nl)
+        op = BlockDia.from_scipy_blocks(blocks, nlp=nlp)
+        Ad_d, Asub_d = expand_block_tridiag_dia(op.data, op.offsets, NB,
+                                                dtype=dtype)
+        Ads, Asubs = [], []
+        for s in range(ns):
+            import scipy.sparse as sp
+
+            Kp = sp.lil_matrix((nlp, nlp))
+            Kp[:nl, :nl] = blocks[s]
+            for i in range(nl, nlp):
+                Kp[i, i] = 1.0
+            Ad, Asub = csr_to_block_tridiag(Kp.tocsr(), NB)
+            Ads.append(Ad.astype(dtype))
+            Asubs.append(Asub.astype(dtype))
+        np.testing.assert_array_equal(
+            np.asarray(Ad_d), np.stack(Ads, axis=1))
+        np.testing.assert_array_equal(
+            np.asarray(Asub_d), np.stack(Asubs, axis=1))
+
+    def test_multiblock_factor_identical(self):
+        """Two band blocks per subdomain (nb=2): the full from_blockdia
+        factorization equals the host-route factorization bitwise."""
+        from permon_tpu.core.band import BandCholInv, csr_to_block_tridiag
+        from permon_tpu.core.dia import BlockDia
+
+        NB = 128
+        blocks = self._random_band_blocks(seed=3, ns=2, nl=220, bw=30)
+        nlp = 2 * NB
+        op = BlockDia.from_scipy_blocks(blocks, nlp=nlp)
+        kp_dev = BandCholInv.from_blockdia(op, NB, dtype=jnp.float32,
+                                           refine=1)
+        import scipy.sparse as sp
+
+        Ads, Asubs = [], []
+        for b in blocks:
+            Kp = sp.lil_matrix((nlp, nlp))
+            Kp[:220, :220] = b
+            for i in range(220, nlp):
+                Kp[i, i] = 1.0
+            Ad, Asub = csr_to_block_tridiag(Kp.tocsr(), NB)
+            Ads.append(Ad.astype(np.float32))
+            Asubs.append(Asub.astype(np.float32))
+        kp_host = BandCholInv.from_block_tridiag(
+            np.stack(Ads, axis=1), np.stack(Asubs, axis=1),
+            dtype=jnp.float32, scan_major=True,
+        )
+        np.testing.assert_array_equal(np.asarray(kp_dev.Dinv),
+                                      np.asarray(kp_host.Dinv))
+        np.testing.assert_array_equal(np.asarray(kp_dev.F),
+                                      np.asarray(kp_host.F))
+        # and the refinement operator is the stencil itself
+        assert kp_dev.op is op
