@@ -451,6 +451,17 @@ def main():
             print(f"secondary: feti_contact_large {nc['dofs']} dofs "
                   f"{nc['its']} its warm {nc['resolve_warm_s']} s",
                   file=sys.stderr)
+            if "smalbe" in nc:
+                sm = nc["smalbe"]
+                feti["feti_contact_smalbe_outer_its"] = sm["outer_its"]
+                feti["feti_contact_smalbe_inner_its"] = sm["inner_its"]
+                feti["feti_contact_smalbe_M1_updates"] = sm["M1_updates"]
+                feti["feti_contact_smalbe_rho_updates"] = sm["rho_updates"]
+                feti["feti_contact_smalbe_resolve_s"] = sm.get("resolve_s")
+                print(f"secondary: feti_contact_smalbe (project=0) "
+                      f"{sm['outer_its']} outer / {sm['inner_its']} inner "
+                      f"its, {sm['M1_updates']} M1 + {sm['rho_updates']} "
+                      f"rho updates", file=sys.stderr)
         else:
             feti["feti_contact_large_error"] = "capture missing"
             print("secondary: feti_contact_large CAPTURE MISSING — run "

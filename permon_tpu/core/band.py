@@ -296,6 +296,22 @@ def expand_block_tridiag_dia(data, offsets, NB: int, dtype=None):
     return Ad, Asub
 
 
+def _factor_step(eye, Dinv_prev, Aii, Ai):
+    """One block row of the block-tridiagonal Cholesky: F_i = A_{i,i-1}
+    D_{i-1}^{-T}, S = A_ii - F F', D_i = chol(S), Dinv_i explicit."""
+    # full-f32 matmul precision: the Schur-complement recurrence
+    # compounds over the block rows, and the TPU's default bf16 passes
+    # lose positive-definiteness (NaN Cholesky) within a few blocks
+    with jax.default_matmul_precision("highest"):
+        F = jnp.einsum("sij,skj->sik", Ai, Dinv_prev)  # A_{i,i-1} D^{-T}
+        S = Aii - jnp.einsum("sik,sjk->sij", F, F)
+        D = jnp.linalg.cholesky(S)
+        Dinv = jax.lax.linalg.triangular_solve(
+            D, eye, left_side=True, lower=True
+        )
+    return Dinv, F
+
+
 @jax.jit
 def factor_block_tridiag_sm(Ad_sm, Asub_sm):
     """Block-tridiagonal Cholesky on SCAN-MAJOR (nb, ns, NB, NB) blocks:
@@ -309,20 +325,50 @@ def factor_block_tridiag_sm(Ad_sm, Asub_sm):
 
     def step(Dinv_prev, blocks):
         Aii, Ai = blocks  # (ns, NB, NB)
-        # full-f32 matmul precision: the Schur-complement recurrence
-        # compounds over the block rows, and the TPU's default bf16 passes
-        # lose positive-definiteness (NaN Cholesky) within a few blocks
-        with jax.default_matmul_precision("highest"):
-            F = jnp.einsum("sij,skj->sik", Ai, Dinv_prev)  # A_{i,i-1} D^{-T}
-            S = Aii - jnp.einsum("sik,sjk->sij", F, F)
-            D = jnp.linalg.cholesky(S)
-            Dinv = jax.lax.linalg.triangular_solve(
-                D, eye, left_side=True, lower=True
-            )
+        Dinv, F = _factor_step(eye, Dinv_prev, Aii, Ai)
         return Dinv, (Dinv, F)
 
     Dinv0 = jnp.zeros((ns, NB, NB), Ad_sm.dtype)
     _, (Dinv, F) = jax.lax.scan(step, Dinv0, (Ad_sm, Asub_sm))
+    return Dinv, F
+
+
+@_partial(jax.jit, static_argnames=("offsets", "NB", "dtype"))
+def factor_from_dia_sm(data, offsets, NB: int, dtype=None):
+    """Fused expand-and-factor: the per-block-row expansion of
+    :func:`expand_block_tridiag_dia` runs INSIDE the factorization scan, so
+    the (nb, ns, NB, NB) Ad/Asub arrays never materialize — device peak is
+    the FACTORS plus one block row, half of expand-then-factor (the margin
+    that decides how many dofs fit one chip; the 2.8M-dof capture OOMed on
+    the two-array peak).  Bit-identical to expand + factor: the per-row
+    expansion performs the same masked eye products on the same cast
+    values."""
+    ns, ndiag, nlp = data.shape
+    nb = nlp // NB
+    dt = jnp.dtype(dtype) if dtype is not None else data.dtype
+    D = data.astype(dt).reshape(ns, ndiag, nb, NB).transpose(2, 0, 1, 3)
+    # D: (nb, ns, ndiag, NB) — the scan consumes one block row per step
+    eye = jnp.broadcast_to(jnp.eye(NB, dtype=dt), (ns, NB, NB))
+
+    def expand_row(Dd):  # (ns, ndiag, NB) -> (Ad_i, Asub_i)
+        Ad = jnp.zeros((ns, NB, NB), dt)
+        Asub = jnp.zeros((ns, NB, NB), dt)
+        for d, off in enumerate(offsets):
+            v = Dd[:, d, :]
+            if -NB < off < NB:
+                Ad = Ad + v[..., None] * jnp.eye(NB, k=int(off), dtype=dt)
+            if -NB < off < 0:
+                Asub = Asub + v[..., None] * jnp.eye(NB, k=int(off) + NB,
+                                                     dtype=dt)
+        return Ad, Asub
+
+    def step(Dinv_prev, Dd):
+        Aii, Ai = expand_row(Dd)
+        Dinv, F = _factor_step(eye, Dinv_prev, Aii, Ai)
+        return Dinv, (Dinv, F)
+
+    Dinv0 = jnp.zeros((ns, NB, NB), dt)
+    _, (Dinv, F) = jax.lax.scan(step, Dinv0, D)
     return Dinv, F
 
 
@@ -408,11 +454,7 @@ class BandCholInv(LinearOperator):
         factorize-from-distributed-sparse-data setup (matinv.c:410-431).
         ``op`` doubles as the refinement operator when ``refine`` > 0."""
         n = int(op.shape[0])
-        Ad_sm, Asub_sm = expand_block_tridiag_dia(
-            op.data, op.offsets, NB, dtype=dtype
-        )
-        Dinv, F = factor_block_tridiag_sm(Ad_sm, Asub_sm)
-        del Ad_sm, Asub_sm
+        Dinv, F = factor_from_dia_sm(op.data, op.offsets, NB, dtype=dtype)
         return cls(Dinv=Dinv, F=F, shape=(n, n),
                    op=op if refine else None, refine=refine)
 

@@ -25,9 +25,12 @@ def main(ncells=100, g=4):
     from permon_tpu.core.convergence import Tolerances
     from permon_tpu.feti.solve import FetiOptions
 
-    out = {"ncells": ncells, "grid": g}
+    # g: int for a cubic g^3 decomposition, or "gx,gy,gz" — flat boxes keep
+    # the band block size NB (= f(mx*my)) small at large dof counts
+    grid = tuple(int(t) for t in str(g).split(",")) if "," in str(g) else (int(g),) * 3
+    out = {"ncells": ncells, "grid": str(g)}
     t0 = time.time()
-    prob = build_sparse((ncells,) * 3, (g,) * 3)
+    prob = build_sparse((ncells,) * 3, grid)
     out["dofs"] = int(prob.n_global)
     out["ns"] = int(prob.ns)
     out["nl_max"] = int(prob.nl)
@@ -38,8 +41,11 @@ def main(ncells=100, g=4):
 
     from permon_tpu.feti.large import FetiSolverSparse
 
+    # the canonical cross-round capture stays in northstar.json; other
+    # shapes (e.g. the >=2M single-chip HBM-limit run) get their own file
+    suffix = "" if (ncells, grid) == (100, (4, 4, 4)) else f"_{ncells}_{'x'.join(map(str, grid))}"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "northstar.json")
+                        f"northstar{suffix}.json")
 
     def dump():
         with open(path, "w") as f:
@@ -102,5 +108,5 @@ def main(ncells=100, g=4):
 
 if __name__ == "__main__":
     nc = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    g = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    g = sys.argv[2] if len(sys.argv) > 2 else 4
     main(nc, g)
