@@ -334,7 +334,8 @@ def factor_block_tridiag_sm(Ad_sm, Asub_sm):
 
 
 @_partial(jax.jit, static_argnames=("offsets", "NB", "dtype"))
-def factor_from_dia_sm(data, offsets, NB: int, dtype=None):
+def factor_from_dia_sm(data, offsets, NB: int, dtype=None,
+                       upd_bi=None, upd_idx=None, upd_q=None):
     """Fused expand-and-factor: the per-block-row expansion of
     :func:`expand_block_tridiag_dia` runs INSIDE the factorization scan, so
     the (nb, ns, NB, NB) Ad/Asub arrays never materialize — device peak is
@@ -342,7 +343,14 @@ def factor_from_dia_sm(data, offsets, NB: int, dtype=None):
     that decides how many dofs fit one chip; the 2.8M-dof capture OOMed on
     the two-array peak).  Bit-identical to expand + factor: the per-row
     expansion performs the same masked eye products on the same cast
-    values."""
+    values.
+
+    ``upd_bi`` (ns,) / ``upd_idx`` (ns, kf) / ``upd_q`` (ns, kf, kf) inject
+    the rank-k fixing-dof regularization (core/dia.RegularizedBlockDia)
+    into each subdomain's diagonal block ``upd_bi[s]`` as the scan passes
+    it — the correction never exists as stencil planes (folding the
+    ~kf^2 scattered offsets into DIA cost 7 -> 43 mostly-zero diagonals,
+    0.9 GB at the 2.2M capture)."""
     ns, ndiag, nlp = data.shape
     nb = nlp // NB
     dt = jnp.dtype(dtype) if dtype is not None else data.dtype
@@ -362,13 +370,22 @@ def factor_from_dia_sm(data, offsets, NB: int, dtype=None):
                                                      dtype=dt)
         return Ad, Asub
 
-    def step(Dinv_prev, Dd):
+    def step(Dinv_prev, xs):
+        i, Dd = xs
         Aii, Ai = expand_row(Dd)
+        if upd_q is not None:
+            kf = upd_idx.shape[1]
+            mask = (upd_bi == i).astype(dt)  # this step holds the window
+            qv = upd_q.astype(dt) * mask[:, None, None]
+            sidx = jnp.arange(ns)[:, None, None]
+            ridx = upd_idx[:, :, None] * jnp.ones((1, 1, kf), jnp.int32)
+            cidx = upd_idx[:, None, :] * jnp.ones((1, kf, 1), jnp.int32)
+            Aii = Aii.at[sidx, ridx, cidx].add(qv)
         Dinv, F = _factor_step(eye, Dinv_prev, Aii, Ai)
         return Dinv, (Dinv, F)
 
     Dinv0 = jnp.zeros((ns, NB, NB), dt)
-    _, (Dinv, F) = jax.lax.scan(step, Dinv0, D)
+    _, (Dinv, F) = jax.lax.scan(step, Dinv0, (jnp.arange(nb, dtype=jnp.int32), D))
     return Dinv, F
 
 
@@ -452,9 +469,21 @@ class BandCholInv(LinearOperator):
         ~50x-smaller diagonal data instead of being built on host and
         uploaded — the large-path analog of the reference's
         factorize-from-distributed-sparse-data setup (matinv.c:410-431).
-        ``op`` doubles as the refinement operator when ``refine`` > 0."""
+        ``op`` doubles as the refinement operator when ``refine`` > 0; a
+        :class:`~permon_tpu.core.dia.RegularizedBlockDia` contributes its
+        rank-k fixing correction inside the scan (never as stencil
+        planes)."""
+        from .dia import RegularizedBlockDia
+
         n = int(op.shape[0])
-        Dinv, F = factor_from_dia_sm(op.data, op.offsets, NB, dtype=dtype)
+        if isinstance(op, RegularizedBlockDia):
+            Dinv, F = factor_from_dia_sm(
+                op.base.data, op.base.offsets, NB, dtype=dtype,
+                upd_bi=op.bi, upd_idx=op.idx, upd_q=op.q,
+            )
+        else:
+            Dinv, F = factor_from_dia_sm(op.data, op.offsets, NB,
+                                         dtype=dtype)
         return cls(Dinv=Dinv, F=F, shape=(n, n),
                    op=op if refine else None, refine=refine)
 

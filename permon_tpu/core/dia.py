@@ -169,3 +169,69 @@ def _dia_mv_xla(data, x, offsets):
     for k, off in enumerate(offsets):
         y = y + data[k] * jax.lax.dynamic_slice(xp, (maxoff + off,), (n,))
     return y
+
+
+@struct.dataclass
+class RegularizedBlockDia(LinearOperator):
+    """Kreg = K + per-block rho * R_I (R_I'R_I)^{-1} R_I' as the ORIGINAL
+    stencil plus an explicit rank-k fixing-dof correction.
+
+    The correction has at most k_fix^2 entries per block (1 for constant
+    nullspaces, 36 for rigid-body modes), but folding it into the DIA
+    stencil scatters those entries over ~k_fix^2 NEW diagonal offsets —
+    measured 7 -> 43 diagonals (0.9 GB of mostly-zero planes) at the
+    2.2M-dof capture.  Keeping it separate makes the refinement operator
+    cost  base stencil + an (ns, kf) gather / tiny batched GEMM /
+    scatter-add,  and the factor path injects the same correction into one
+    diagonal block per subdomain inside the fused expand-and-factor scan
+    (core/band.factor_from_dia_sm)."""
+
+    base: BlockDia
+    #: (ns, kf) int32 LOCAL fixing-dof ids within the block's band window,
+    #: relative to block row ``bi`` (i.e. global local-dof = bi*NB + idx);
+    #: padded with 0 where a block has fewer fixing dofs (q zero there)
+    idx: jax.Array
+    #: (ns, kf, kf) correction rho * Q per block (all-zero for fixed blocks)
+    q: jax.Array
+    #: (ns,) int32 band-block index holding each block's fixing window
+    bi: jax.Array
+    NB: int = struct.field(pytree_node=False)
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    @property
+    def data(self):  # source stencil for the factor expansion
+        return self.base.data
+
+    @property
+    def offsets(self):
+        return self.base.offsets
+
+    def _corr(self, x):
+        ns, _, nlp = self.base.data.shape
+        xb = x.reshape(ns, nlp)
+        gidx = self.bi[:, None] * self.NB + self.idx  # (ns, kf) local dofs
+        g = jnp.take_along_axis(xb, gidx, axis=1).astype(self.q.dtype)
+        with jax.default_matmul_precision("highest"):
+            h = jnp.einsum("sij,sj->si", self.q, g)
+        out = jnp.zeros_like(xb).at[
+            jnp.arange(ns)[:, None], gidx
+        ].add(h.astype(xb.dtype))
+        return out.reshape(-1)
+
+    def mv(self, x):
+        return self.base.mv(x) + self._corr(x).astype(x.dtype)
+
+    rmv = mv  # symmetric
+
+    def diagonal(self):
+        d = self.base.diagonal()
+        ns, _, nlp = self.base.data.shape
+        gidx = self.bi[:, None] * self.NB + self.idx
+        kf = self.idx.shape[1]
+        qd = self.q[:, jnp.arange(kf), jnp.arange(kf)]
+        return d.reshape(ns, nlp).at[
+            jnp.arange(ns)[:, None], gidx
+        ].add(qd.astype(d.dtype)).reshape(-1)

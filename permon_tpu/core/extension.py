@@ -46,15 +46,20 @@ class SubdomainExtension(LinearOperator):
     #: shrinks to a single gather (rmv) / scatter-add (mv) at the dual
     #: interface, halving the serialized-gather cost of an F application.
     blk: jax.Array = None
-    #: optional GATHER tables (see :meth:`with_gather_apply`): row-major
+    #: optional GATHER tables (see :meth:`with_gather_apply`): PLANE-major
     #: forms of B and B' so both apply directions are vectorized gathers —
     #: TPU scatter-adds serialize and cost ~25 ms per direction at the
-    #: 1M-dof north star, while B's fan-in per row (and per primal dof) is a
-    #: small constant, so a (rows, width) gather covers it exactly.
-    gB_cols: jax.Array = None  # (m, gmax) int32 decomposed-col ids, pad = N
-    gB_vals: jax.Array = None  # (m, gmax)
-    gBt_rows: jax.Array = None  # (N, w) int32 dual-row ids, pad = m
-    gBt_vals: jax.Array = None  # (N, w)
+    #: 1M-dof north star, while B's fan-in per row (and per primal dof) is
+    #: a small constant, so a (width, rows) gather covers it exactly.
+    #: Plane-major (slot index LEADING) matters on TPU: a (rows, 2) array
+    #: tiles as T(8,128) with the minor dim padded 2 -> 128 — a silent 64x
+    #: memory tax (measured 1.25 GB for a 20 MB table at 2.2M dofs, the
+    #: allocation that OOMed the >=2M capture); (2, rows) slot planes are
+    #: effectively 1-D and pad nothing.
+    gB_cols: jax.Array = None  # (gmax, m) int32 decomposed-col ids, pad = N
+    gB_vals: jax.Array = None  # (gmax, m)
+    gBt_rows: jax.Array = None  # (w, N) int32 dual-row ids, pad = m
+    gBt_vals: jax.Array = None  # (w, N)
     #: overflow COO for primal dofs whose dual fan-in exceeds the base table
     #: width w (see :meth:`with_gather_apply`): subdomain-corner/edge OWNER
     #: copies under nonredundant gluing touch up to deg-1 = 7 rows, but they
@@ -202,9 +207,13 @@ class SubdomainExtension(LinearOperator):
                                    self.m_dual, N)
         gBt_rows, gBt_vals, ov = pack(gcols, rows.astype(np.int32), vals,
                                       N, self.m_dual, cap=int(base_width))
+        # plane-major (slot leading) — see the field comment: a minor dim
+        # of 2 would pad 64x under the TPU's T(8,128) tiling
         out = self.replace(
-            gB_cols=jnp.asarray(gB_cols), gB_vals=jnp.asarray(gB_vals),
-            gBt_rows=jnp.asarray(gBt_rows), gBt_vals=jnp.asarray(gBt_vals),
+            gB_cols=jnp.asarray(np.ascontiguousarray(gB_cols.T)),
+            gB_vals=jnp.asarray(np.ascontiguousarray(gB_vals.T)),
+            gBt_rows=jnp.asarray(np.ascontiguousarray(gBt_rows.T)),
+            gBt_vals=jnp.asarray(np.ascontiguousarray(gBt_vals.T)),
         )
         if ov is not None:
             out = out.replace(
@@ -233,10 +242,10 @@ class SubdomainExtension(LinearOperator):
         sum (the single psum when sharded)."""
         if self.sB is not None:
             G = self.sB(u).reshape(self.gB_cols.shape)
-            return jnp.sum(self.gB_vals * G, axis=1)
+            return jnp.sum(self.gB_vals * G, axis=0)
         if self.gB_cols is not None:
             up = jnp.concatenate([u, jnp.zeros(1, u.dtype)])
-            return jnp.sum(self.gB_vals * up[self.gB_cols], axis=1)
+            return jnp.sum(self.gB_vals * up[self.gB_cols], axis=0)
         ub = u.reshape(self.ns, self.nl)
         if self.blk is not None:
             with jax.default_matmul_precision("highest"):  # bf16 default
@@ -251,7 +260,7 @@ class SubdomainExtension(LinearOperator):
         """B' lambda: communication-free gather from the (replicated) dual."""
         if self.sBt is not None:
             G = self.sBt(lam).reshape(self.gBt_rows.shape)
-            out = jnp.sum(self.gBt_vals * G, axis=1)
+            out = jnp.sum(self.gBt_vals * G, axis=0)
             if self.gBt_ov_cols is not None:
                 lp = jnp.concatenate([lam, jnp.zeros(1, lam.dtype)])
                 out = out.at[self.gBt_ov_cols].add(
@@ -260,7 +269,7 @@ class SubdomainExtension(LinearOperator):
             return out
         if self.gBt_rows is not None:
             lp = jnp.concatenate([lam, jnp.zeros(1, lam.dtype)])
-            out = jnp.sum(self.gBt_vals * lp[self.gBt_rows], axis=1)
+            out = jnp.sum(self.gBt_vals * lp[self.gBt_rows], axis=0)
             if self.gBt_ov_cols is not None:
                 out = out.at[self.gBt_ov_cols].add(
                     self.gBt_ov_vals * lp[self.gBt_ov_rows]

@@ -8,8 +8,9 @@ Cholesky on sparse subdomain stiffness (reference:
 src/mat/impls/inv/matinv.c:481-590) at 10^5-10^7 total dofs:
 
 - :class:`SparseFetiProblem` holds per-subdomain SCIPY sparse blocks;
-- the decomposed operator A is a :class:`~permon_tpu.core.band.BlockTridiag`
-  (batched (NB, NB) blocks — bandwidth-bounded sparsity made MXU-dense);
+- the decomposed operator A is a :class:`~permon_tpu.core.dia.BlockDia`
+  stencil (the band factor input is expanded from it INSIDE the
+  factorization scan — bandwidth-bounded sparsity made MXU-dense);
 - K+ is a :class:`~permon_tpu.core.band.BandCholInv`: one lax.scan blocked
   band Cholesky over all subdomains, fixing-dof regularization for floating
   blocks (an exact generalized inverse, see core/band.py), optional f32
@@ -35,12 +36,8 @@ import numpy as np
 
 from ..core.band import (
     BandCholInv,
-    BlockTridiag,
     bandwidth,
-    csr_to_block_tridiag,
-    gershgorin_max_eig,
     rcm_order,
-    regularize_block_tridiag,
 )
 from ..core.convergence import Tolerances
 from ..core.extension import SubdomainExtension
@@ -219,7 +216,7 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
                        NB: Optional[int] = None, kplus_dtype=None,
                        kplus_refine: int = 0, op_dtype=None,
                        BI=None, cI=None, abstract_factors: bool = False):
-    """Build the decomposed QP (A = BlockTridiag, BE = gluing [+ Dirichlet
+    """Build the decomposed QP (A = BlockDia stencil, BE = gluing [+ Dirichlet
     rows], R analytic) and the band K+.  Local sizes are padded to a
     multiple of the band block size NB (padding dofs get unit diagonals and
     l2g = -1, invisible to gluing and nullspace).
@@ -349,30 +346,54 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
     # transpose of the multi-GB factor arrays) and (b) a BlockDia stencil
     # operator used as qp.A and as the refinement operator — O(ndiag*n)
     # memory instead of keeping the dense (NB, NB) blocks alive.
-    from ..core.band import gershgorin_max_eig_csr, regularize_csr
+    from ..core.band import gershgorin_max_eig_csr
     from ..core.dia import BlockDia
 
     fdt = np.dtype(kplus_dtype) if kplus_dtype is not None else np.float64
-    Kregs = []
-    for s in range(ns):
-        Kreg = K_blocks[s]
-        if not fixed_mask[s]:
-            if bases is not None:
-                Rb = bases[s][:nl]
-            else:
-                real = np.flatnonzero(prob.l2g[s] >= 0)
-                Rb = np.zeros((nl, 1))
-                Rb[real, 0] = 1.0 / np.sqrt(len(real))
-            rho = gershgorin_max_eig_csr(Kreg)
-            Kreg = regularize_csr(Kreg, Rb, rho, NB, nl=nl)
-        Kregs.append(Kreg)
-    # two stencil operators: K+ refinement residuals need the REGULARIZED
-    # blocks (the factors solve Kreg), but the QP's Hessian — and therefore
-    # the lumped dual preconditioner M = B K B' (pc/dual.py) — must be the
-    # ORIGINAL singular K: the rho-sized fixing-dof term would dominate M at
-    # the fixing dofs and wreck the preconditioned iteration
-    Areg = BlockDia.from_scipy_blocks(Kregs, nlp=nlp, dtype=op_dtype)
+    # the regularization Kreg = K + rho R_I (R_I'R_I)^{-1} R_I' stays an
+    # EXPLICIT rank-k correction (core/dia.RegularizedBlockDia): folding it
+    # into the DIA stencil scatters ~kf^2 entries per block over dozens of
+    # new diagonal offsets (7 -> 43 observed, 0.9 GB of near-empty planes
+    # at 2.2M dofs).  The factor scan injects the correction into each
+    # block's fixing window in place (core/band.factor_from_dia_sm); the
+    # QP's Hessian — and therefore the lumped dual preconditioner
+    # M = B K B' (pc/dual.py) — keeps the ORIGINAL singular K: the
+    # rho-sized fixing-dof term would dominate M at the fixing dofs and
+    # wreck the preconditioned iteration
+    from ..core.band import _fixing_window, fixing_dofs
+    from ..core.dia import RegularizedBlockDia
+
     A = BlockDia.from_scipy_blocks(K_blocks, nlp=nlp, dtype=op_dtype)
+    reg = []  # (s, bi, local idx, rho*Q)
+    for s in range(ns):
+        if fixed_mask[s]:
+            continue
+        if bases is not None:
+            Rb = bases[s][:nl]
+        else:
+            real = np.flatnonzero(prob.l2g[s] >= 0)
+            Rb = np.zeros((nl, 1))
+            Rb[real, 0] = 1.0 / np.sqrt(len(real))
+        rho = gershgorin_max_eig_csr(K_blocks[s])
+        lo, hi = _fixing_window(Rb, NB, nl)
+        I = fixing_dofs(Rb, lo=lo, hi=hi)
+        RI = Rb[I]
+        Q = rho * (RI @ np.linalg.solve(RI.T @ RI, RI.T))
+        bwin = int(I[0] // NB)
+        assert (I // NB == bwin).all()
+        reg.append((s, bwin, I - bwin * NB, Q))
+    kfmax = max((len(r[2]) for r in reg), default=1)
+    idx_arr = np.zeros((ns, kfmax), dtype=np.int32)
+    q_arr = np.zeros((ns, kfmax, kfmax))
+    bi_arr = np.zeros(ns, dtype=np.int32)
+    for s, bwin, I_loc, Q in reg:
+        bi_arr[s] = bwin
+        idx_arr[s, : len(I_loc)] = I_loc
+        q_arr[s, : len(I_loc), : len(I_loc)] = Q
+    Areg = RegularizedBlockDia(
+        base=A, idx=jnp.asarray(idx_arr), q=jnp.asarray(q_arr),
+        bi=jnp.asarray(bi_arr), NB=NB,
+    )
     if abstract_factors:
         # shapes only: the Dinv/F factor arrays at exact production
         # shape/dtype, no numeric factorization (see docstring)

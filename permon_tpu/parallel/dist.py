@@ -114,9 +114,10 @@ def shard_extension_sparse(B: SubdomainExtension, mesh: Mesh) -> SubdomainExtens
         sB=None, sBt=None,
     )
     if B.gBt_rows is not None:
+        # plane-major (w, N): the primal axis is dim 1
         B = B.replace(
-            gBt_rows=put(B.gBt_rows, axes, None),
-            gBt_vals=put(B.gBt_vals, axes, None),
+            gBt_rows=put(B.gBt_rows, None, axes),
+            gBt_vals=put(B.gBt_vals, None, axes),
         )
     if B.gBt_ov_cols is not None:
         # the few-hundred-entry overflow COO is replicated; its scatter-add
@@ -147,7 +148,7 @@ def shard_qp_sparse(qp: QP, kplus, mesh: Mesh, kplus_post=None):
     over the flattened device order.  Returns
     ``(qp_sharded, kplus_sharded, kplus_post_sharded)``."""
     from ..core.band import BandCholInv
-    from ..core.dia import BlockDia
+    from ..core.dia import BlockDia, RegularizedBlockDia
 
     axes = tuple(mesh.axis_names)
     put = lambda x, *spec: _put(x, mesh, P(*spec))
@@ -167,7 +168,14 @@ def shard_qp_sparse(qp: QP, kplus, mesh: Mesh, kplus_post=None):
             Dinv=put(kp.Dinv, None, axes, None, None),
             F=put(kp.F, None, axes, None, None),
         )
-        if kp.op is not None and isinstance(kp.op, BlockDia):
+        if isinstance(kp.op, RegularizedBlockDia):
+            out = out.replace(op=kp.op.replace(
+                base=shard_blockdia(kp.op.base),
+                idx=put(kp.op.idx, axes, None),
+                q=put(kp.op.q, axes, None, None),
+                bi=put(kp.op.bi, axes),
+            ))
+        elif kp.op is not None and isinstance(kp.op, BlockDia):
             out = out.replace(op=shard_blockdia(kp.op))
         return out
 
