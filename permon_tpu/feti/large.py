@@ -756,12 +756,27 @@ def make_fast_solve_fn(opts: FetiOptions, tol: Tolerances, nref: int, ng: int):
     chain + global reassembly + ``nref`` f64 primal defect-correction
     passes, everything passed as ARGUMENTS (never baked as constants).
     Factored out of :class:`FetiSolverSparse` so AOT audits can lower the
-    exact production executable at arbitrary shapes
-    (scripts/memaudit.py)."""
+    exact production executable at arbitrary shapes (scripts/memaudit.py).
 
-    def run(qp, kplus, kplus_post, pf, b, l2g_c, real, counts_g):
+    The factors enter ONCE: ``kplus_lean`` carries the Dinv/F arrays with
+    the refinement operator stripped to the small rank-k correction
+    ``corr`` (base=None); the cheap unrefined K+ and the accurate
+    refined K+ are derived INSIDE the trace against qp.A.  Passing the
+    split pair as separate jit parameters declared the multi-GB factor
+    buffers (and the stencil, via both qp.A and op.base) twice — the
+    runtime's capacity check summed 18.05 GB of declared arguments
+    against ~10 GB of distinct buffers and refused the 2.2M-dof
+    executable."""
+
+    def run(qp, kplus_lean, corr, pf, b, l2g_c, real, counts_g):
         # l2g_c: (ns*nlp,) int32 global dof per copy, padding -> ng
         # real: (ns*nlp,) bool; counts_g: (ng,) f64 multiplicities
+        if corr is not None and kplus_lean.refine:
+            kplus_post = kplus_lean.replace(op=corr.replace(base=qp.A))
+            kplus = kplus_lean.replace(refine=0, op=None)
+        else:
+            kplus, kplus_post = kplus_lean, None
+
         def solve_chain(bb):
             sol, res, _ = _solve_prepared(
                 qp.replace(b=bb), kplus, opts, tol,
@@ -959,12 +974,27 @@ class FetiSolverSparse:
                 self._counts_g = put(self._counts_g)
         return self._l2g_c, self._real_mask, self._counts_g
 
+    def fast_args(self, qp=None):
+        """(kplus_lean, corr) for :func:`make_fast_solve_fn`: the factor
+        arrays once, the refinement operator reduced to its rank-k
+        correction with the stencil base stripped (rebuilt from qp.A
+        inside the trace) — no multi-GB buffer is declared twice."""
+        from ..core.dia import RegularizedBlockDia
+
+        kfull = self.kplus_post if self.kplus_post is not None else self.kplus
+        corr = None
+        if kfull.op is not None:
+            assert isinstance(kfull.op, RegularizedBlockDia), type(kfull.op)
+            corr = kfull.op.replace(base=None)
+        return kfull.replace(op=None), corr
+
     def _solve_fast(self, prob, qp, tol: Tolerances) -> FetiResult:
         nlp = qp.BE.nl
         fn = self._fast_fn(tol)
         l2g_c, real, counts_g = self._reassembly_tables(prob, nlp)
+        kplus_lean, corr = self.fast_args()
         x_global, x_dec, res = fn(
-            qp, self.kplus, self.kplus_post, self._pf, qp.b,
+            qp, kplus_lean, corr, self._pf, qp.b,
             l2g_c, real, counts_g,
         )
         return FetiResult(

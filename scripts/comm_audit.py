@@ -85,8 +85,9 @@ def main():
         tolr = Tolerances(rtol=1e-6)
         run = solver._fast_fn(tolr)
         l2g_c, real, counts_g = solver._reassembly_tables(prob, qp.BE.nl)
+        kplus_lean, corr = solver.fast_args()
         hlo_s = run.lower(
-            solver.qp, solver.kplus, solver.kplus_post, solver._pf,
+            solver.qp, kplus_lean, corr, solver._pf,
             solver.qp.b, l2g_c, real, counts_g,
         ).compile().as_text()
         s_census = census(hlo_s)
