@@ -435,6 +435,27 @@ def main():
         print(f"secondary: feti_large skipped ({type(e).__name__}: {e})",
               file=sys.stderr)
 
+    # the single-chip HBM-limit capture (>= 2M dofs, flat decomposition —
+    # scripts/northstar.py 129 9,9,2)
+    try:
+        p2 = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           "scripts", "northstar_129_9x9x2.json")
+        if _os.path.exists(p2):
+            with open(p2) as f:
+                n2 = json.load(f)
+            feti["feti_2m_dofs"] = n2["dofs"]
+            feti["feti_2m_its"] = n2["its"]
+            feti["feti_2m_first_solve_s"] = n2["total_solve_s"]
+            feti["feti_2m_resolve_warm_s"] = n2.get("resolve_warm_s")
+            feti["feti_2m_residual"] = n2.get("assembled_residual")
+            print(f"secondary: feti_2m {n2['dofs']} dofs {n2['its']} its "
+                  f"first {n2['total_solve_s']} s warm "
+                  f"{n2.get('resolve_warm_s')} s resid "
+                  f"{n2.get('assembled_residual')}", file=sys.stderr)
+    except Exception as e:
+        print(f"secondary: feti_2m skipped ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
     # contact at scale through the large path (committed on-chip capture,
     # scripts/northstar_contact.py)
     try:

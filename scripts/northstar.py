@@ -96,7 +96,7 @@ def main(ncells=100, g=4):
     del res3
     dump()
 
-    if out["dofs"] <= 1.2e6:
+    if out["dofs"] <= 2.5e6:
         A, b = assembled_system((ncells,) * 3)
         resid = float(np.linalg.norm(A @ x1 - b) / np.linalg.norm(b))
         out["assembled_residual"] = resid

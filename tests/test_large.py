@@ -235,8 +235,12 @@ class TestSparseContact:
         res = r.result
         assert int(res.reason) == 2
         # the adaptive machinery ran: many outers, M1 AND rho updates
+        # trajectory pinned for the CURRENT factor pipeline (the
+        # unprojected SMALBE is K+-noise-sensitive: the round-5 in-scan
+        # regularization injection moved the f32 factors by 1 ulp and the
+        # inner count by 1)
         assert int(res.iterations) == 39, int(res.iterations)
-        assert int(res.inner_iterations) == 121, int(res.inner_iterations)
+        assert int(res.inner_iterations) == 122, int(res.inner_iterations)
         assert int(res.M1_updates) == 13 and int(res.rho_updates) == 1
         # AL-grade constraint satisfaction: agrees with the projected
         # pipeline to the dual tolerance level
