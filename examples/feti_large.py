@@ -136,6 +136,148 @@ def build_sparse(cells=(24, 24, 24), grid=(2, 2, 2)):
     )
 
 
+def build_sparse_elasticity(cells=(16, 16, 16), grid=(2, 2, 2),
+                            lam: float = 1.0, mu: float = 1.0):
+    """Sparse 3-D Q1 ELASTICITY analog of :func:`build_sparse` (the ex71
+    ``-pde_type Elasticity`` configuration at scale — reference:
+    src/tutorials/feti/ex71.c:26-99 element tables, feti/ex71.c:331-339
+    rigid-body nullspace).
+
+    Same DMDA upper-corner decomposition as the Poisson builder; 3 dofs per
+    node, node-major interleaved (dof = 3*node + c) so the subdomain
+    bandwidth stays 3*(nx*ny + nx + 1) + 2 — FLAT boxes (small x*y
+    cross-section) keep the band block size NB small exactly as in the
+    scalar case.  TFETI convention: ALL subdomains are floating (full
+    6-mode rigid-body nullspace from nodal coords) and the x=0 clamped
+    face is returned as ``dirichlet`` global dof ids for the large path to
+    enforce — by B rows (``dirichlet_by_B=True``, TFETI) or by symmetric
+    elimination in the Hessian.  The rhs is the assembled unit load on
+    every dof (VecSet(b,1), D-scaled per copy)."""
+    from examples.feti_ex71 import q1_elasticity_emat
+    from permon_tpu.feti.assembly import decompose_rhs_by_multiplicity
+    from permon_tpu.feti.large import SparseFetiProblem
+
+    dof = 3
+    emat = q1_elasticity_emat(3, lam=lam, mu=mu)  # (24, 24), x-fastest nodes
+    cx, cy, cz = cells
+    m, n, p = grid
+    Mx, My, Mz = cx + 1, cy + 1, cz + 1
+    ox = np.concatenate([[0], np.cumsum(_axis_split(Mx, m))])
+    oy = np.concatenate([[0], np.cumsum(_axis_split(My, n))])
+    oz = np.concatenate([[0], np.cumsum(_axis_split(Mz, p))])
+
+    def node_range(o, r, last, M):
+        lo = o[r] - 1 if r > 0 else 0
+        hi = o[r + 1] - 1 if r < last - 1 else M - 1
+        return lo, hi
+
+    ns = m * n * p
+    boxes = []
+    mult = np.zeros(Mx * My * Mz)
+    for kp in range(p):
+        for jn in range(n):
+            for im in range(m):
+                x0, x1 = node_range(ox, im, m, Mx)
+                y0, y1 = node_range(oy, jn, n, My)
+                z0, z1 = node_range(oz, kp, p, Mz)
+                boxes.append((x0, x1, y0, y1, z0, z1))
+                gx = np.arange(x0, x1 + 1)
+                gy = np.arange(y0, y1 + 1)
+                gz = np.arange(z0, z1 + 1)
+                gids = ((gz[:, None, None] * My + gy[None, :, None]) * Mx
+                        + gx[None, None, :]).reshape(-1)
+                np.add.at(mult, gids, 1.0)
+
+    nn_max = max((x1 - x0 + 1) * (y1 - y0 + 1) * (z1 - z0 + 1)
+                 for (x0, x1, y0, y1, z0, z1) in boxes)
+    nl = nn_max * dof
+    l2g = np.full((ns, nl), -1, dtype=np.int64)
+    b_loc = np.zeros((ns, nl))
+    coords = np.zeros((ns, nn_max, 3))
+    K_blocks = []
+    # element corner offsets in the emat's node order (x fastest)
+    dxyz = np.array([(a & 1, (a >> 1) & 1, (a >> 2) & 1) for a in range(8)])
+    for s, (x0, x1, y0, y1, z0, z1) in enumerate(boxes):
+        nx, ny, nz = x1 - x0 + 1, y1 - y0 + 1, z1 - z0 + 1
+        nn = nx * ny * nz
+        gx = np.arange(x0, x1 + 1)
+        gy = np.arange(y0, y1 + 1)
+        gz = np.arange(z0, z1 + 1)
+        gids = ((gz[:, None, None] * My + gy[None, :, None]) * Mx
+                + gx[None, None, :]).reshape(-1)
+        for c in range(dof):
+            l2g[s, c:nn * dof:dof] = dof * gids + c
+        coords[s, :nn, 0] = np.tile(gx, ny * nz)
+        coords[s, :nn, 1] = np.tile(np.repeat(gy, nx), nz)
+        coords[s, :nn, 2] = np.repeat(gz, nx * ny)
+        # vectorized Q1 assembly: all (nx-1)(ny-1)(nz-1) elements at once
+        ei, ej, ek = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1),
+                                 np.arange(nz - 1), indexing="ij")
+        orig = ((ek.ravel() * ny + ej.ravel()) * nx + ei.ravel())  # (ne,)
+        corner = (orig[:, None]
+                  + (dxyz[:, 2] * ny + dxyz[:, 1]) * nx + dxyz[:, 0])  # (ne, 8)
+        edofs = (dof * corner[:, :, None]
+                 + np.arange(dof)[None, None, :]).reshape(-1, 24)  # (ne, 24)
+        ne = edofs.shape[0]
+        rows = np.repeat(edofs, 24, axis=1).ravel()
+        cols = np.tile(edofs, (1, 24)).ravel()
+        vals = np.tile(emat.ravel(), ne)
+        K = sp.coo_matrix((vals, (rows, cols)),
+                          shape=(nn * dof, nn * dof)).tocsr()
+        if nn * dof < nl:  # unit diagonal on padding
+            K = sp.block_diag([K, sp.identity(nl - nn * dof)], format="csr")
+        K_blocks.append(K)
+        # assembled rhs = 1 on every dof (VecSet(b,1)): each copy carries
+        # 1/multiplicity so the copy-sum is 1 (node multiplicity == dof
+        # multiplicity in the interleaved layout)
+        b_loc[s, :nn * dof] = 1.0 / np.repeat(mult[gids], dof)
+
+    b_loc = decompose_rhs_by_multiplicity(b_loc, l2g)
+    # clamped x=0 face: all 3 components of every x=0 node, GLOBAL dof ids
+    fixed_nodes = (np.arange(My * Mz) * Mx)  # i=0 plane: gid = (k*My+j)*Mx
+    dirichlet = (dof * fixed_nodes[:, None] + np.arange(dof)).ravel()
+    return SparseFetiProblem(
+        K_blocks=K_blocks, b_loc=b_loc, l2g=l2g,
+        floating=np.ones(ns, dtype=bool), dirichlet=dirichlet,
+        dirichlet_numtype="global_undecomposed", coords=coords,
+    )
+
+
+def assembled_elasticity_system(cells, lam: float = 1.0, mu: float = 1.0):
+    """Globally assembled elasticity system (verification oracle): the
+    same Q1 assembly on the undecomposed grid, x=0 face eliminated
+    symmetrically (rows/cols zeroed, unit diagonal, rhs value 0)."""
+    from examples.feti_ex71 import q1_elasticity_emat
+
+    dof = 3
+    emat = q1_elasticity_emat(3, lam=lam, mu=mu)
+    cx, cy, cz = cells
+    Mx, My, Mz = cx + 1, cy + 1, cz + 1
+    nn = Mx * My * Mz
+    dxyz = np.array([(a & 1, (a >> 1) & 1, (a >> 2) & 1) for a in range(8)])
+    ei, ej, ek = np.meshgrid(np.arange(cx), np.arange(cy), np.arange(cz),
+                             indexing="ij")
+    orig = ((ek.ravel() * My + ej.ravel()) * Mx + ei.ravel())
+    corner = (orig[:, None] + (dxyz[:, 2] * My + dxyz[:, 1]) * Mx + dxyz[:, 0])
+    edofs = (dof * corner[:, :, None] + np.arange(dof)[None, None, :]
+             ).reshape(-1, 24)
+    ne = edofs.shape[0]
+    rows = np.repeat(edofs, 24, axis=1).ravel()
+    cols = np.tile(edofs, (1, 24)).ravel()
+    vals = np.tile(emat.ravel(), ne)
+    K = sp.coo_matrix((vals, (rows, cols)), shape=(nn * dof, nn * dof)).tocsr()
+    b = np.ones(nn * dof)
+    fixed_nodes = np.arange(My * Mz) * Mx
+    fixed = (dof * fixed_nodes[:, None] + np.arange(dof)).ravel()
+    keep = np.ones(nn * dof)
+    keep[fixed] = 0.0
+    D = sp.diags(keep)
+    K = (D @ K @ D).tolil()
+    K[fixed, fixed] = 1.0
+    b[fixed] = 0.0
+    return K.tocsr(), b
+
+
 def build_obstacle(cells=(24, 24, 24), grid=(2, 2, 2), cap=None):
     """Contact variant of :func:`build_sparse`: a ceiling u <= cap on the
     far face (x = Lx) of the Poisson box — the membrane pressed against a

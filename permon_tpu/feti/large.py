@@ -74,7 +74,10 @@ class SparseFetiProblem:
     )
     dirichlet_values: Optional[np.ndarray] = None
     dirichlet_numtype: str = "global_undecomposed"
-    coords: Optional[np.ndarray] = None  # (ns, nn, dim) for rigid body modes
+    #: (ns, nn, dim) nodal coordinates for rigid body modes (elasticity).
+    #: Dof layout must be node-major interleaved: dof i of node n is
+    #: n*dim + c; padding nodes (all dofs with l2g = -1) are ignored.
+    coords: Optional[np.ndarray] = None
 
     def dirichlet_global(self) -> np.ndarray:
         from .assembly import dirichlet_global_ids
@@ -326,13 +329,24 @@ def assemble_qp_sparse(prob: SparseFetiProblem, opts: FetiOptions = FetiOptions(
         from .assembly import nullspace_columns_from_blocks
 
         bases = []
+        dim = int(prob.coords.shape[2])
         for s in range(ns):
             if fixed_mask[s]:
                 bases.append(np.zeros((nlp, 0)))
                 continue
-            modes = rigid_body_modes(prob.coords[s])
+            # ragged decompositions: build the modes from the REAL nodes
+            # only (dof layout is node-major interleaved, dof = node*dim+c).
+            # Padding rows of coords are meaningless — including them puts
+            # nonzero R entries on padding dofs (unit-diagonal in K), which
+            # breaks K R = 0 and lets the fixing-dof window select padding
+            # dofs whose grounding cannot regularize the block.
+            real_dof = prob.l2g[s] >= 0
+            node_real = real_dof.reshape(-1, dim).any(axis=1)
+            modes = rigid_body_modes(prob.coords[s][node_real])
             pad = np.zeros((nlp, modes.shape[1]))
-            pad[: modes.shape[0]] = modes
+            didx = (dim * np.flatnonzero(node_real)[:, None]
+                    + np.arange(dim)).ravel()
+            pad[didx] = modes
             bases.append(pad)
         rr, rc, rv, k = nullspace_columns_from_blocks(bases)
     else:
