@@ -492,6 +492,44 @@ def main():
         print(f"secondary: feti_contact_large skipped "
               f"({type(e).__name__}: {e})", file=sys.stderr)
 
+    # 3-D ELASTICITY at scale (the north-star problem class: TFETI
+    # elasticity + plane obstacle, scripts/northstar_elasticity.py)
+    try:
+        ne_path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                "scripts", "northstar_elasticity.json")
+        if _os.path.exists(ne_path):
+            with open(ne_path) as f:
+                nel = json.load(f)
+            lin = nel.get("linear", {})
+            feti["feti_elast_dofs"] = nel["dofs"]
+            feti["feti_elast_its"] = lin.get("its")
+            feti["feti_elast_first_solve_s"] = lin.get("first_solve_s")
+            feti["feti_elast_resolve_warm_s"] = lin.get("resolve_warm_s")
+            feti["feti_elast_residual"] = lin.get("assembled_residual_free")
+            print(f"secondary: feti_elasticity {nel['dofs']} dofs "
+                  f"{lin.get('its')} its first {lin.get('first_solve_s')} s "
+                  f"warm {lin.get('resolve_warm_s')} s resid "
+                  f"{lin.get('assembled_residual_free')}", file=sys.stderr)
+            if "contact" in nel:
+                ct = nel["contact"]
+                feti["feti_elast_contact_inner_its"] = ct["inner_its"]
+                feti["feti_elast_contact_active"] = ct["active_nodes"]
+                feti["feti_elast_contact_resolve_warm_s"] = ct.get(
+                    "resolve_warm_s")
+                print(f"secondary: feti_elast_contact {ct['inner_its']} "
+                      f"MPRGP its, {ct['active_nodes']} active, warm "
+                      f"{ct.get('resolve_warm_s')} s", file=sys.stderr)
+            if "smalbe" in nel:
+                sm = nel["smalbe"]
+                feti["feti_elast_smalbe_outer_its"] = sm["outer_its"]
+                feti["feti_elast_smalbe_M1_updates"] = sm["M1_updates"]
+                print(f"secondary: feti_elast_smalbe {sm['outer_its']} outer "
+                      f"/ {sm['inner_its']} inner its, {sm['M1_updates']} M1 "
+                      f"updates", file=sys.stderr)
+    except Exception as e:
+        print(f"secondary: feti_elasticity skipped "
+              f"({type(e).__name__}: {e})", file=sys.stderr)
+
     _emit()
 
 

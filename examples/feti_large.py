@@ -278,6 +278,47 @@ def assembled_elasticity_system(cells, lam: float = 1.0, mu: float = 1.0):
     return K.tocsr(), b
 
 
+def build_obstacle_elasticity(cells=(16, 16, 16), grid=(2, 2, 2), gap=None,
+                              lam: float = 1.0, mu: float = 1.0):
+    """Elastic CONTACT variant of :func:`build_sparse_elasticity` — the
+    north-star problem class (BASELINE.json: 3-D TFETI contact): the body is
+    clamped at x=0, loaded by the unit body force, and its far face x=Lx
+    meets a rigid plane at distance ``gap``: u_x <= gap for every far-face
+    node (one inequality row on the first owning copy of each node's
+    x-dof).  Default gap = 30% of the free cantilever's x-stretch scale so
+    a contact set actually forms.  Returns (prob, BI, cI, gap)."""
+    from permon_tpu.core.extension import SubdomainExtension
+
+    prob = build_sparse_elasticity(cells, grid, lam=lam, mu=mu)
+    Mx = cells[0] + 1
+    if gap is None:
+        # the bar under unit axial body force stretches ~ L^2/(2(lam+2mu))
+        gap = 0.3 * (Mx - 1) ** 2 / (2.0 * (lam + 2 * mu))
+    ns, nl = prob.ns, prob.nl
+    owner_seen = set()
+    rows, cols, vals, cI = [], [], [], []
+    mI = 0
+    for s in range(ns):
+        gl = prob.l2g[s]
+        # far-face x-dofs: global dof = 3*gid, node i-index Mx-1
+        cand = np.flatnonzero((gl >= 0) & (gl % 3 == 0)
+                              & ((gl // 3) % Mx == Mx - 1))
+        for i in cand:
+            g = int(gl[i])
+            if g in owner_seen:
+                continue
+            owner_seen.add(g)
+            rows.append(mI)
+            cols.append(s * nl + i)
+            vals.append(1.0)  # +u_x <= gap
+            cI.append(gap)
+            mI += 1
+    BI = SubdomainExtension.from_coo(
+        np.array(rows), np.array(cols), np.array(vals), m=mI, ns=ns, nl=nl
+    )
+    return prob, BI, np.array(cI), gap
+
+
 def build_obstacle(cells=(24, 24, 24), grid=(2, 2, 2), cap=None):
     """Contact variant of :func:`build_sparse`: a ceiling u <= cap on the
     far face (x = Lx) of the Poisson box — the membrane pressed against a

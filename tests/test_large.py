@@ -778,3 +778,41 @@ class TestElasticityLargePath:
         )
         assert int(res.result.iterations) == int(ref.result.iterations)
         np.testing.assert_allclose(res.x_global, ref.x_global, atol=1e-7)
+
+    def test_contact_matches_assembled_box_qp(self):
+        """Elastic CONTACT (the north-star problem class): far-face plane
+        obstacle u_x <= gap through the large path, both the projected
+        SMALXE and the adaptive SMALBE (project=False) variants, against
+        the assembled box-QP solved by plain MPRGP."""
+        import permon_tpu as pt
+        from examples.feti_large import (
+            assembled_elasticity_system,
+            build_obstacle_elasticity,
+        )
+        from permon_tpu.qpc.box import BoxConstraint
+
+        cells, grid = (8, 8, 8), (2, 2, 1)
+        prob, BI, cI, gap = build_obstacle_elasticity(cells, grid)
+        K, b = assembled_elasticity_system(cells)
+        Mx = cells[0] + 1
+        n = len(b)
+        ids = np.arange(n)
+        face = (ids % 3 == 0) & ((ids // 3) % Mx == Mx - 1)
+        ub = np.full(n, np.inf)
+        ub[face] = gap
+        qp = pt.QP(
+            A=pt.make_operator(K), b=jnp.asarray(b),
+            box=BoxConstraint.create(n, ub=jnp.asarray(ub)),
+        )
+        xr = np.asarray(pt.solve(qp, tol=Tolerances(rtol=1e-9, max_it=5000)).x)
+        # a genuine active set forms (the obstacle actually binds)
+        assert (xr[face] > gap - 1e-8).sum() > 0
+        for project in (True, False):
+            r = feti_solve_sparse(
+                prob,
+                FetiOptions(gluing="nonred", nullspace="rbm", project=project),
+                BI=BI, cI=cI, tol=Tolerances(rtol=1e-7),
+            )
+            err = np.linalg.norm(r.x_global - xr) / np.linalg.norm(xr)
+            assert err < 1e-5, (project, err)
+            assert (r.x_global[face] <= gap + 1e-4).all()
