@@ -422,7 +422,51 @@ def main(ncells: int = 24, g: int = 2, f32: bool = True, rtol: float = 1e-5,
     return res, None
 
 
+def main_elasticity(ncells: int = 16, g: int = 2, rtol: float = 1e-5,
+                    contact: bool = False):
+    """3-D Q1 elasticity (optionally with the far-face plane obstacle)
+    through the large path: rbm nullspace, in-Hessian clamped face."""
+    import jax.numpy as jnp
+
+    from permon_tpu.core.convergence import Tolerances
+    from permon_tpu.feti.large import FetiSolverSparse
+    from permon_tpu.feti.solve import FetiOptions
+
+    cells, grid = (ncells,) * 3, (g,) * 3
+    t0 = time.time()
+    if contact:
+        prob, BI, cI, gap = build_obstacle_elasticity(cells, grid)
+    else:
+        prob = build_sparse_elasticity(cells, grid)
+        BI = cI = None
+    N = prob.n_global
+    print(f"assembled {N} elasticity dofs, {prob.ns} subdomains "
+          f"({time.time() - t0:.1f} s host)")
+    t1 = time.time()
+    res = FetiSolverSparse(
+        prob,
+        FetiOptions(gluing="nonred", nullspace="rbm", dirichlet_by_B=False),
+        kplus_dtype=jnp.float32, kplus_refine=2,
+        primal_refine=0 if contact else 1, BI=BI, cI=cI,
+    ).solve(tol=Tolerances(rtol=rtol))
+    r = res.result
+    print(f"{'SMALXE' if contact else 'dual CG'}: {int(r.iterations)} "
+          f"iterations, reason {int(r.reason)} ({time.time() - t1:.1f} s "
+          "incl. factorization)")
+    if not contact and N <= 3e5:
+        K, b = assembled_elasticity_system(cells)
+        resid = np.linalg.norm(K @ res.x_global - b) / np.linalg.norm(b)
+        print(f"||Kx-b||/||b|| = {resid:.3e} (assembled Q1 system)")
+    return res
+
+
 if __name__ == "__main__":
-    nc = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    g = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    main(nc, g)
+    args = sys.argv[1:]
+    if args and args[0] == "elasticity":
+        nc = int(args[1]) if len(args) > 1 else 16
+        g = int(args[2]) if len(args) > 2 else 2
+        main_elasticity(nc, g, contact="contact" in args)
+    else:
+        nc = int(args[0]) if args else 24
+        g = int(args[1]) if len(args) > 1 else 2
+        main(nc, g)

@@ -110,17 +110,42 @@ class DenseTree(Dense):
     :class:`Dense` so dense-aware call sites (dense_rows short-circuit,
     sparse_rows transforms) keep working."""
 
+    #: element budget for one tree-reduction chunk: the elementwise product
+    #: a * x materializes a (k, m) temp before the tree collapses it — at
+    #: the 1.18M-dof elasticity coarse (540 x 253000, ~1.1 GB f64) several
+    #: such temps live across MPRGP's cond branches and overflowed HBM by
+    #: 1 GB.  Chunking along the NON-reduced axis is bitwise-identical
+    #: (each output element's summation tree is untouched) and caps the
+    #: temp at ~128 MB.
+    CHUNK_ELEMS = 1 << 24
+
     def mv(self, x):
         from .detred import det_sum
 
-        return det_sum(self.a * x[None, :].astype(self.a.dtype), axis=-1
-                       ).astype(x.dtype)
+        k, m = self.a.shape
+        xa = x[None, :].astype(self.a.dtype)
+        if k > 1 and k * m > self.CHUNK_ELEMS:
+            rows = max(self.CHUNK_ELEMS // max(m, 1), 1)
+            outs = [
+                det_sum(self.a[i0:i0 + rows] * xa, axis=-1)
+                for i0 in range(0, k, rows)
+            ]
+            return jnp.concatenate(outs).astype(x.dtype)
+        return det_sum(self.a * xa, axis=-1).astype(x.dtype)
 
     def rmv(self, y):
         from .detred import det_sum
 
-        return det_sum(self.a * y[:, None].astype(self.a.dtype), axis=0
-                       ).astype(y.dtype)
+        k, m = self.a.shape
+        ya = y[:, None].astype(self.a.dtype)
+        if m > 1 and k * m > self.CHUNK_ELEMS:
+            cols = max(self.CHUNK_ELEMS // max(k, 1), 1)
+            outs = [
+                det_sum(self.a[:, j0:j0 + cols] * ya, axis=0)
+                for j0 in range(0, m, cols)
+            ]
+            return jnp.concatenate(outs).astype(y.dtype)
+        return det_sum(self.a * ya, axis=0).astype(y.dtype)
 
 
 @struct.dataclass

@@ -39,9 +39,11 @@ from ..core.band import (
     bandwidth,
     rcm_order,
 )
+from flax import struct
+
 from ..core.convergence import Tolerances
 from ..core.extension import SubdomainExtension
-from ..core.linop import Ell
+from ..core.linop import Ell, LinearOperator
 from ..qp.qp import QP
 from ..qp.transforms import (
     Solution,
@@ -721,6 +723,105 @@ def _run_prepared_sparse(
         x_global=x_global, u_decomposed=sol.x, solution=sol, result=res,
         qp=qp, dual_qp=dual,
     )
+
+
+@struct.dataclass
+class BlockCoarse(LinearOperator):
+    """Coarse operator G = R'B' exploiting the BLOCK-DIAGONAL structure of
+    the nullspace R (<= kf columns per subdomain, kf = 6 for 3-D rigid
+    body modes): G v = per-block fixed-tree contractions of R_s against
+    the primal image B'v, G'w = B(R w) — no (k, m) array is ever formed.
+
+    Exists for the LARGE-k coarse regime (k*m past the dense-G cutoff,
+    qp/transforms.DENSE_G_ELEMENTS): the dense G of the 1.18M-dof
+    elasticity capture is ~1.1 GB and XLA's layout copies of it inside the
+    SMALXE while-loop overflowed HBM by 3 GB, while the generic lazy
+    G = R'(B' .) routes through an Ell scatter measured at ~400 ms per
+    apply.  This operator costs one extra B/B' pair per projector
+    application plus O(ns*nlp*kf) flops on the MXU, with ~70 MB of temps.
+    Reference: the implicit coarse-problem action of qppf.c:610-645 with
+    MATEXTENSION G (extension.c:476-540)."""
+
+    Rb: jax.Array  # (ns, nlp, kf) f64 block nullspace columns, zero-padded
+    cols: jax.Array  # (ns, kf) int32 global coarse column ids, pad -> k
+    B: Any  # extension operator (m, ns*nlp)
+    k: int = struct.field(pytree_node=False)
+
+    @property
+    def shape(self):
+        return (self.k, self.B.shape[0])
+
+    def mv(self, v):
+        from ..core.detred import det_sum
+
+        ns, nlp, kf = self.Rb.shape
+        w = self.B.rmv(v).reshape(ns, nlp).astype(self.Rb.dtype)
+        # fixed-tree contraction over the local dofs (f64 dot lowers
+        # sequentially on TPU; the tree is bandwidth-bound + deterministic)
+        s = det_sum(self.Rb * w[:, :, None], axis=1)  # (ns, kf)
+        out = jnp.zeros(self.k + 1, s.dtype).at[self.cols.reshape(-1)].add(
+            s.reshape(-1)
+        )
+        return out[: self.k].astype(v.dtype)
+
+    def rmv(self, w):
+        ns, nlp, kf = self.Rb.shape
+        wb = jnp.concatenate(
+            [w.astype(self.Rb.dtype), jnp.zeros(1, self.Rb.dtype)]
+        )[self.cols]  # (ns, kf)
+        y = (self.Rb * wb[:, None, :]).sum(-1)  # kf <= 6 adds: exact order
+        return self.B.mv(y.reshape(-1)).astype(w.dtype)
+
+
+def _block_shape(B):
+    """(ns, nl) of an extension operator, looking through VStack wrappers
+    (contact stacks [B_gluing; B_obstacle] over the same primal space)."""
+    if hasattr(B, "ns") and hasattr(B, "nl"):
+        return B.ns, B.nl
+    if hasattr(B, "ops") and B.ops:
+        return _block_shape(B.ops[0])
+    return None
+
+
+def block_coarse_from_R(R, B):
+    """Host build of :class:`BlockCoarse` from the block-diagonal Ell R:
+    each coarse column's support lies inside one subdomain's row block.
+    Returns None when R or B lack the required structure."""
+    import scipy.sparse as sp
+
+    from ..qp.sparse_rows import to_scipy
+
+    shp = _block_shape(B)
+    if shp is None:
+        return None
+    ns, nlp = shp
+    if ns * nlp != B.shape[1]:
+        return None
+    R_sp = to_scipy(R)
+    if R_sp is None:
+        return None
+    k = R_sp.shape[1]
+    Rc = sp.csc_matrix(R_sp)
+    owner = np.full(k, -1, dtype=np.int64)
+    for j in range(k):
+        rows = Rc.indices[Rc.indptr[j]:Rc.indptr[j + 1]]
+        if len(rows) == 0:
+            return None
+        s = int(rows[0]) // nlp
+        if int(rows[-1]) // nlp != s:
+            return None  # not block-diagonal: fall back
+        owner[j] = s
+    kf = max(int(np.bincount(owner, minlength=ns).max()), 1)
+    Rb = np.zeros((ns, nlp, kf))
+    cols = np.full((ns, kf), k, dtype=np.int32)
+    slot = np.zeros(ns, dtype=np.int64)
+    for j in range(k):
+        s = owner[j]
+        t = slot[s]
+        cols[s, t] = j
+        Rb[s, :, t] = R_sp[s * nlp:(s + 1) * nlp, j].toarray().ravel()
+        slot[s] += 1
+    return BlockCoarse(Rb=jnp.asarray(Rb), cols=jnp.asarray(cols), B=B, k=k)
 
 
 def build_sparse_pf(qp, opts: FetiOptions):

@@ -56,6 +56,13 @@ def dense_rows(op: LinearOperator, dtype=None) -> jax.Array:
 #: RCM-ordered block-tridiagonal Cholesky (core/band.py)
 SPARSE_GGT_THRESHOLD = 2048
 
+#: coarse dimension from which the dense-Gram coarse solve assembles the
+#: explicit (GG')^{-1} automatically (apply = one fixed-tree GEMV) instead
+#: of triangular cho_solve — which lowers sequentially for f64 on TPU.
+#: Parity-scale problems (k <= 162 across all captures/oracles) keep the
+#: triangular path their counts were pinned with.
+EXPLICIT_INV_MIN_K = 256
+
 
 @struct.dataclass
 class Projector:
@@ -113,7 +120,12 @@ class Projector:
             )
             chol = jnp.linalg.cholesky(ggt)
             inv = None
-            if explicit_inv:
+            if explicit_inv or ggt.shape[0] >= EXPLICIT_INV_MIN_K:
+                # large coarse dimension: the f64 triangular cho_solve
+                # lowers SEQUENTIALLY on TPU (measured 37 ms per coarse
+                # solve at k=540) — assemble (GG')^-1 once and apply it as
+                # a fixed-tree GEMV (the -qppf_explicit path,
+                # qppf.c:282-333)
                 eye = jnp.eye(ggt.shape[0], dtype=ggt.dtype)
                 inv = jax.scipy.linalg.cho_solve((chol, True), eye)
             return cls(G=G, ggt_chol=chol, orthonormal_rows=False, ggt_inv=inv)
@@ -156,6 +168,16 @@ class Projector:
             y = self.ggt_band.mv(jnp.concatenate([vp, jnp.zeros(pad, v.dtype)]))
             return jnp.zeros_like(v).at[self.cp_perm].set(y[:m])
         if self.ggt_inv is not None:
+            if self.ggt_inv.shape[0] >= EXPLICIT_INV_MIN_K:
+                # f64 dot contracts sequentially on TPU (float-float order
+                # dependence) — the fixed tree is bandwidth-bound and
+                # deterministic (core/detred; same fix as DenseTree)
+                from ..core.detred import det_sum
+
+                return det_sum(
+                    self.ggt_inv * v[None, :].astype(self.ggt_inv.dtype),
+                    axis=-1,
+                ).astype(v.dtype)
             return (self.ggt_inv @ v).astype(v.dtype)
         return jax.scipy.linalg.cho_solve((self.ggt_chol, True), v).astype(v.dtype)
 

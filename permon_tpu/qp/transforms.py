@@ -91,9 +91,12 @@ SPARSE_COARSE_THRESHOLD = 1 << 25
 #: as an explicit dense (k, m) array.  The lazy G = R'B' operator routes
 #: every projector application through two PRIMAL-sized scatter/gather
 #: chains (measured 134 ms per P apply at the 1M-dof north star, vs ~0.1 ms
-#: for the dense GEMV at k=63, m=94563 — a 47 MB array); past the cutoff
-#: (512 MB, e.g. ns=512 x 6 RBMs at m=10^6) the lazy operator keeps peak
-#: memory O(nnz).
+#: for the dense GEMV at k=63, m=94563 — a 47 MB array).  Past the cutoff
+#: the BLOCK coarse operator takes over when R is block-diagonal
+#: (feti/large.BlockCoarse) — a 1 GB dense G at the 1.18M-dof elasticity
+#: coarse (540 x 253000) both saturated the tunnel upload and OOMed the
+#: SMALXE while-loop through XLA layout copies, while the block form needs
+#: no (k, m) array at all.
 DENSE_G_ELEMENTS = 1 << 26
 
 
@@ -124,7 +127,16 @@ def _sparse_coarse(R, B):
 
         G_op = DenseTree.create(jnp.asarray(G_sp.toarray()))
     else:
-        G_op = Product((Transpose(R), Transpose(B)))  # mv = R'(B' lam), lazy
+        # above the dense cutoff: exploit the block-diagonal structure of R
+        # when present (feti/large.BlockCoarse — per-subdomain fixed-tree
+        # contractions, no (k, m) array); the generic lazy product is the
+        # last resort (its Ell R' scatter measured ~400 ms per apply at the
+        # 1.18M-dof elasticity coarse)
+        from ..feti.large import block_coarse_from_R
+
+        G_op = block_coarse_from_R(R, B)
+        if G_op is None:
+            G_op = Product((Transpose(R), Transpose(B)))  # mv = R'(B' lam)
     return G_op, ggt
 
 

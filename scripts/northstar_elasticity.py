@@ -166,7 +166,38 @@ def main(cells=(54, 54, 129), grid=(6, 6, 3)):
           flush=True)
     dump()
 
-    # ---- contact: SMALBE proper (project=False, adaptive AL loop) ------
+    smalbe_section(out, dump)
+    print("wrote", path, flush=True)
+    return out
+
+
+def smalbe_section(out, dump, cells=(36, 36, 87), grid=(4, 4, 2)):
+    """Contact via SMALBE proper (project=False, adaptive AL loop), at its
+    own shape: the SMALXE executable runs the WHOLE outer loop in one
+    device execution, and at the 1.18M shape its ~1500+ inner iterations
+    exceed the tunnel's execution kill window (~2 min; observed: worker
+    killed while the projected variant's 45 s executions survive).  361k
+    dofs keeps the full adaptive trajectory inside one execution; the
+    adaptive machinery at the 1.18M shape is exercised by the PROJECTED
+    capture above (28 outer its of the same M1/rho logic)."""
+    import jax.numpy as jnp
+
+    from examples.feti_large import build_obstacle_elasticity
+    from permon_tpu.core.convergence import Tolerances
+    from permon_tpu.feti.large import FetiSolverSparse
+    from permon_tpu.feti.solve import FetiOptions
+
+    base = dict(gluing="nonred", nullspace="rbm", deterministic=True,
+                coarse="sparse", dirichlet_by_B=False)
+    recipe = dict(kplus_dtype=jnp.float32, kplus_refine=2)
+    prob, BI, cI, gap = build_obstacle_elasticity(cells, grid)
+
+    # the projected twin at the SMALBE shape (solution cross-check)
+    solver_c = FetiSolverSparse(prob, FetiOptions(**base), BI=BI, cI=cI,
+                                **recipe)
+    x_proj = np.asarray(solver_c.solve(tol=Tolerances(rtol=1e-5)).x_global)
+    del solver_c
+
     from permon_tpu.solvers.smalxe import SMALXEOptions
 
     t0 = time.time()
@@ -179,6 +210,9 @@ def main(cells=(54, 54, 129), grid=(6, 6, 3)):
     t1 = time.time()
     res2 = r2.result
     out["smalbe"] = {
+        "cells": "x".join(map(str, cells)),
+        "grid": "x".join(map(str, grid)),
+        "dofs": int(prob.n_global),
         "first_solve_s": round(t1 - t0, 1),
         "outer_its": int(res2.iterations),
         "inner_its": int(res2.inner_iterations),
@@ -205,13 +239,30 @@ def main(cells=(54, 54, 129), grid=(6, 6, 3)):
           f"({out['smalbe']['outer_its_resolve']} outer)", flush=True)
     del r3, solver_al
     dump()
+
+
+def smalbe_only():
+    """Merge a SMALBE run into the existing capture JSON (the linear +
+    projected-contact sections at 1.18M dofs are expensive re-runs)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "northstar_elasticity.json")
+    with open(path) as f:
+        out = json.load(f)
+
+    def dump():
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
+    smalbe_section(out, dump)
     print("wrote", path, flush=True)
-    return out
 
 
 if __name__ == "__main__":
-    cells = (tuple(int(t) for t in sys.argv[1].split(","))
-             if len(sys.argv) > 1 else (54, 54, 129))
-    grid = (tuple(int(t) for t in sys.argv[2].split(","))
-            if len(sys.argv) > 2 else (6, 6, 3))
-    main(cells, grid)
+    if len(sys.argv) > 1 and sys.argv[1] == "smalbe":
+        smalbe_only()
+    else:
+        cells = (tuple(int(t) for t in sys.argv[1].split(","))
+                 if len(sys.argv) > 1 else (54, 54, 129))
+        grid = (tuple(int(t) for t in sys.argv[2].split(","))
+                if len(sys.argv) > 2 else (6, 6, 3))
+        main(cells, grid)
